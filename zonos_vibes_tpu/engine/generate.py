@@ -1,0 +1,238 @@
+"""Decode engine: prefill + jitted ``lax.while_loop`` autoregressive decode.
+
+Behavioral spec: reference ``Zonos.generate`` (zonos/model.py:218-315) — CFG
+batch doubling, delay-pattern bookkeeping, EOS logit bias, per-row EOS
+cascade, repetition-penalty window, early stop when every row finished.
+
+TPU-first engineering (the reference's weaknesses are the design targets):
+
+* The reference crosses host<->device every step (`.item()` loop, Python
+  ``while`` on a device tensor, model.py:283-307). Here the ENTIRE decode —
+  prefill + all steps + EOS cascade — is ONE compiled XLA program: a
+  ``lax.while_loop`` whose body embeds the frame, runs the backbone
+  single-token step against the preallocated KV cache, mixes CFG, samples,
+  and applies the EOS cascade as pure vector math. Early exit (all rows done)
+  is the loop condition, so EOS still saves wall-clock.
+* The CUDA-Graph / torch.compile machinery (model.py:118-179) is replaced by
+  ``jax.jit`` with donated decode state — XLA gives graph capture + fusion
+  natively (SURVEY.md §2.9 N4/N5).
+* Static shapes throughout; compiled programs are cached per
+  (batch, cond_len, prefix_len, max_new_tokens, cfg, sampling) signature.
+
+The EOS cascade, vectorized (reference model.py:283-294): when codebook 0
+emits EOS, the row's remaining step count clamps to 9 and on each following
+step codebook ``idx = 9 - remaining`` emits EOS with all earlier codebooks
+MASK — the diagonal walk the delay pattern requires.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ZonosConfig
+from ..models.zonos import ZonosModel
+from ..ops.attention import NEG_INF
+from ..ops.delay_pattern import apply_delay_pattern, revert_delay_pattern
+from ..ops.rope import rope_table
+from ..ops.sampling import SamplingParams, sample_from_logits
+
+UNKNOWN_TOKEN = -1
+
+
+def _find_multiple(n: int, k: int) -> int:
+    return n if n % k == 0 else n + k - (n % k)
+
+
+@dataclass(frozen=True)
+class GenerateResult:
+    codes: jnp.ndarray  # [B, K, audio_seq_len] int32, invalid tail zero-filled
+    valid_length: jnp.ndarray  # scalar int32: number of valid frames
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model", "prefix_audio_len", "max_new_tokens", "cfg_scale", "sampling",
+    ),
+    donate_argnames=(),
+)
+def generate_jit(
+    model: ZonosModel,
+    params: dict,
+    prefix_conditioning: jnp.ndarray,  # [2B, Lc, D] (cond ‖ uncond)
+    audio_prefix_codes: jnp.ndarray,  # [B, K, Lp] int32 (Lp may be 0)
+    key: jax.Array,
+    prefix_audio_len: int,
+    max_new_tokens: int,
+    cfg_scale: float,
+    sampling: SamplingParams,
+):
+    cfg: ZonosConfig = model.config
+    K = cfg.num_codebooks
+    eos = cfg.eos_token_id
+    mask_tok = cfg.masked_token_id
+
+    two_b, cond_len, d_model = prefix_conditioning.shape
+    batch = two_b // 2
+    lp = prefix_audio_len
+    audio_seq_len = lp + max_new_tokens
+    seq_len = _find_multiple(cond_len + audio_seq_len + K, 8)
+
+    rope = rope_table(cfg.backbone.head_dim)
+    cache = model.allocate_cache(two_b, seq_len)
+
+    # -- code grid + delay pattern (model.py:246-253) -----------------------
+    codes = jnp.full((batch, K, audio_seq_len), UNKNOWN_TOKEN, jnp.int32)
+    if lp > 0:
+        codes = codes.at[..., :lp].set(audio_prefix_codes.astype(jnp.int32))
+    delayed = apply_delay_pattern(codes, mask_tok)  # [B, K, audio_seq_len+K]
+
+    # -- prefill (model.py:181-196,253-255) ---------------------------------
+    prefix_frames = delayed[..., : lp + 1]
+    emb = model.embed_codes(params, prefix_frames)  # [B, lp+1, D]
+    emb = jnp.concatenate([emb, emb], axis=0)  # CFG doubling
+    hidden = jnp.concatenate(
+        [prefix_conditioning.astype(emb.dtype), emb], axis=1
+    )
+    lengths0 = jnp.zeros((two_b,), jnp.int32)
+    logits, cache = model.compute_logits(
+        params, hidden, cache, jnp.int32(0), lengths0, cfg_scale, rope
+    )
+
+    key, k0 = jax.random.split(key)
+    next_token = sample_from_logits(k0, logits, sampling)  # [B, K]
+
+    offset0 = lp + 1
+    frame = delayed[..., offset0]
+    frame = jnp.where(frame == UNKNOWN_TOKEN, next_token, frame)
+    delayed = delayed.at[..., offset0].set(frame)
+
+    prefix_length = cond_len + lp + 1  # cache positions consumed so far
+
+    # EOS only from codebook 0 (model.py:266-267).
+    logit_bias = jnp.zeros_like(logits)
+    logit_bias = logit_bias.at[:, 1:, eos].set(NEG_INF)
+
+    max_steps = delayed.shape[-1] - offset0
+
+    state = {
+        "delayed": delayed,
+        "cache": cache,
+        "offset": jnp.int32(offset0),
+        "remaining": jnp.full((batch,), max_steps, jnp.int32),
+        "stopping": jnp.zeros((batch,), bool),
+        "key": key,
+    }
+
+    def cond_fn(s):
+        return jnp.max(s["remaining"]) > 0
+
+    def body_fn(s):
+        offset = s["offset"] + 1
+        delayed = s["delayed"]
+        # input frame = the one written last step (delayed column offset-1)
+        frame_in = jax.lax.dynamic_slice_in_dim(delayed, offset - 1, 1, axis=2)
+        emb = model.embed_codes(params, frame_in)  # [B, 1, D]
+        emb = jnp.concatenate([emb, emb], axis=0)  # CFG repeat (model.py:142)
+        cache_off = offset - 1 + cond_len  # absolute cache position
+        lengths = jnp.full((two_b,), cache_off, jnp.int32)
+        logits, cache = model.compute_logits(
+            params, emb, s["cache"], cache_off, lengths, cfg_scale, rope
+        )
+        logits = logits + logit_bias
+
+        # Repetition penalty window: the last `window` delayed frames.
+        w = sampling.repetition_penalty_window
+        gen_window = jax.lax.dynamic_slice_in_dim(delayed, offset - w, w, axis=2)
+
+        key, k_step = jax.random.split(s["key"])
+        next_token = sample_from_logits(k_step, logits, sampling, gen_window)
+
+        # -- EOS cascade, vectorized (model.py:283-294) ---------------------
+        eos_in_cb0 = next_token[:, 0] == eos
+        remaining = jnp.where(
+            eos_in_cb0, jnp.minimum(s["remaining"], 9), s["remaining"]
+        )
+        stopping = s["stopping"] | eos_in_cb0
+        eos_idx = jnp.clip(9 - remaining, 0, K - 1)  # [B]
+        cb = jnp.arange(K, dtype=jnp.int32)[None, :]
+        cascade = jnp.where(
+            cb < eos_idx[:, None],
+            mask_tok,
+            jnp.where(cb == eos_idx[:, None], eos, next_token),
+        )
+        next_token = jnp.where(stopping[:, None], cascade, next_token)
+
+        frame = jax.lax.dynamic_slice_in_dim(delayed, offset, 1, axis=2)[..., 0]
+        frame = jnp.where(frame == UNKNOWN_TOKEN, next_token, frame)
+        delayed = jax.lax.dynamic_update_slice_in_dim(
+            delayed, frame[..., None], offset, axis=2
+        )
+
+        return {
+            "delayed": delayed,
+            "cache": cache,
+            "offset": offset,
+            "remaining": remaining - 1,
+            "stopping": stopping,
+            "key": key,
+        }
+
+    state = jax.lax.while_loop(cond_fn, body_fn, state)
+
+    out = revert_delay_pattern(state["delayed"])  # [B, K, audio_seq_len]
+    out = jnp.where(out >= cfg.codebook_size, 0, out)
+    valid_length = state["offset"] - K
+    # Zero the invalid tail so callers can ignore valid_length if they slice.
+    t = jnp.arange(out.shape[-1], dtype=jnp.int32)[None, None, :]
+    out = jnp.where(t < valid_length, out, 0)
+    return out, valid_length
+
+
+class DecodeEngine:
+    """User-facing generate API. Compiled programs cached by jit on the
+    static signature (batch, cond_len, prefix_len, steps, cfg, sampling)."""
+
+    def __init__(self, model: ZonosModel):
+        self.model = model
+
+    def generate(
+        self,
+        params: dict,
+        prefix_conditioning: jnp.ndarray,
+        audio_prefix_codes: jnp.ndarray | None = None,
+        *,
+        key: jax.Array,
+        max_new_tokens: int = 86 * 30,
+        cfg_scale: float = 2.0,
+        sampling_params: SamplingParams | dict | None = None,
+    ) -> GenerateResult:
+        if cfg_scale == 1.0:
+            raise NotImplementedError(
+                "cfg_scale == 1 unsupported (reference asserts the same, "
+                "model.py:231)"
+            )
+        if sampling_params is None:
+            sampling_params = SamplingParams(min_p=0.1)  # model.py:226 default
+        elif isinstance(sampling_params, dict):
+            sampling_params = SamplingParams.from_dict(sampling_params)
+        K = self.model.config.num_codebooks
+        if audio_prefix_codes is None:
+            b = prefix_conditioning.shape[0] // 2
+            audio_prefix_codes = jnp.zeros((b, K, 0), jnp.int32)
+        codes, valid = generate_jit(
+            self.model,
+            params,
+            prefix_conditioning,
+            audio_prefix_codes,
+            key,
+            int(audio_prefix_codes.shape[-1]),
+            int(max_new_tokens),
+            float(cfg_scale),
+            sampling_params,
+        )
+        return GenerateResult(codes=codes, valid_length=valid)

@@ -1,0 +1,169 @@
+"""Transformer backbone — TPU-native re-design of the reference backbone
+(zonos/backbone/_torch.py:52-152).
+
+Architecture (identical math, different engineering):
+
+* pre-LN blocks: ``x += Attn(LN(x)); x += SwiGLU(LN(x))``; final LayerNorm.
+* GQA attention with fused qkv projection (no bias), interleaved-pair RoPE,
+  preallocated KV cache, causal prefill / full-prefix decode.
+
+TPU-first choices:
+
+* **Stacked layer weights + ``lax.scan``**: all blocks share shapes, so layer
+  params are stored with a leading ``[n_layer]`` axis and the stack runs as a
+  single scanned step — one compiled block body regardless of depth, fast
+  compiles, and a natural home for per-layer KV caches (scan xs/ys).
+* Params are functional pytrees (nested dicts); weights ``[in, out]`` so every
+  projection is ``x @ W`` on the MXU. bf16 params/activations, fp32 softmax.
+* No data-dependent Python control flow: prefill vs decode is a *static*
+  choice on the chunk length.
+
+The hybrid (Mamba) backbone lives in ``models/mamba_backbone.py``; both
+register in ``BACKBONES`` mirroring the reference registry
+(zonos/backbone/__init__.py:1-12).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import BackboneConfig
+from ..ops.attention import (
+    decode_attention,
+    prefill_attention,
+    update_kv_cache,
+)
+from ..ops.mlp import swiglu
+from ..ops.norms import layer_norm
+from ..ops.rope import apply_rope, rope_table
+
+
+def init_transformer_backbone(
+    key: jax.Array, cfg: BackboneConfig, dtype=jnp.bfloat16
+) -> dict:
+    """Random-init params with the same tensor shapes the checkpoint loader
+    fills (loader: utils/checkpoint.py). Leading axis of every layer tensor is
+    ``n_layer`` (stacked for scan)."""
+    L, D = cfg.n_layer, cfg.d_model
+    Hq, Hkv, Dh = cfg.num_heads, cfg.num_heads_kv, cfg.head_dim
+    F = cfg.attn_mlp_d_intermediate
+    qkv_out = (Hq + 2 * Hkv) * Dh
+    ks = jax.random.split(key, 4)
+
+    def dense(k, shape, fan_in):
+        return (jax.random.normal(k, shape, jnp.float32) / jnp.sqrt(fan_in)).astype(
+            dtype
+        )
+
+    return {
+        "layers": {
+            "norm1": {"weight": jnp.ones((L, D), dtype), "bias": jnp.zeros((L, D), dtype)},
+            "in_proj": {"weight": dense(ks[0], (L, D, qkv_out), D)},
+            "out_proj": {"weight": dense(ks[1], (L, Hq * Dh, D), Hq * Dh)},
+            "norm2": {"weight": jnp.ones((L, D), dtype), "bias": jnp.zeros((L, D), dtype)},
+            "fc1": {"weight": dense(ks[2], (L, D, 2 * F), D)},
+            "fc2": {"weight": dense(ks[3], (L, F, D), F)},
+        },
+        "norm_f": {"weight": jnp.ones((D,), dtype), "bias": jnp.zeros((D,), dtype)},
+    }
+
+
+def allocate_kv_cache(
+    cfg: BackboneConfig, batch_size: int, max_seqlen: int, dtype=jnp.bfloat16
+) -> dict:
+    """Preallocated per-layer KV cache pytree ``[L, B, T, Hkv, Dh]``
+    (reference allocates ``[B, T, 2, Hkv, Dh]`` per layer, _torch.py:97)."""
+    L = cfg.n_layer
+    shape = (L, batch_size, max_seqlen, cfg.num_heads_kv, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def _block(
+    layer_params: dict,
+    cfg: BackboneConfig,
+    x: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    offset: jnp.ndarray,
+    positions: jnp.ndarray,
+    table: jnp.ndarray,
+    is_decode: bool,
+):
+    """One transformer block; returns (x_out, new_k_cache, new_v_cache)."""
+    B, S, D = x.shape
+    Hq, Hkv, Dh = cfg.num_heads, cfg.num_heads_kv, cfg.head_dim
+
+    h = layer_norm(
+        x, layer_params["norm1"]["weight"], layer_params["norm1"]["bias"],
+        cfg.norm_epsilon,
+    )
+    qkv = h @ layer_params["in_proj"]["weight"]
+    q, k, v = jnp.split(qkv, [Hq * Dh, (Hq + Hkv) * Dh], axis=-1)
+    q = q.reshape(B, S, Hq, Dh)
+    k = k.reshape(B, S, Hkv, Dh)
+    v = v.reshape(B, S, Hkv, Dh)
+    q = apply_rope(q, positions, table)
+    k = apply_rope(k, positions, table)
+
+    k_cache, v_cache = update_kv_cache(k_cache, v_cache, k, v, offset)
+    if is_decode:
+        y = decode_attention(q, k_cache, v_cache, seq_end=offset + S)
+    else:
+        y = prefill_attention(q, k_cache, v_cache, offset, S)
+    y = y.reshape(B, S, Hq * Dh) @ layer_params["out_proj"]["weight"]
+    x = x + y
+
+    h = layer_norm(
+        x, layer_params["norm2"]["weight"], layer_params["norm2"]["bias"],
+        cfg.norm_epsilon,
+    )
+    x = x + swiglu(h, layer_params["fc1"]["weight"], layer_params["fc2"]["weight"])
+    return x, k_cache, v_cache
+
+
+def transformer_forward(
+    params: dict,
+    cfg: BackboneConfig,
+    hidden: jnp.ndarray,
+    cache: dict,
+    offset: jnp.ndarray,
+    lengths_per_sample: jnp.ndarray,
+    rope: jnp.ndarray | None = None,
+):
+    """Run the layer stack on a chunk.
+
+    Args:
+      hidden: ``[B, S, D]`` (S static — full prefix for prefill, 1 for decode).
+      cache: from :func:`allocate_kv_cache`.
+      offset: scalar int32 write offset into the cache (``seqlen_offset``).
+      lengths_per_sample: ``[B]`` int32 per-row RoPE base positions
+        (reference _torch.py:74-75 semantics: ``positions = arange(S) + lps``).
+      rope: optional precomputed :func:`rope_table` (built on the fly if None).
+
+    Returns ``(hidden_out [B, S, D], new_cache)``.
+    """
+    B, S, _ = hidden.shape
+    if rope is None:
+        rope = rope_table(cfg.head_dim)
+    positions = (
+        jnp.arange(S, dtype=jnp.int32)[None, :]
+        + lengths_per_sample.astype(jnp.int32)[:, None]
+    )
+    is_decode = S == 1
+
+    def scan_body(h, xs):
+        layer_params, kc, vc = xs
+        h, kc, vc = _block(
+            layer_params, cfg, h, kc, vc, offset, positions, rope, is_decode
+        )
+        return h, (kc, vc)
+
+    hidden, (new_k, new_v) = jax.lax.scan(
+        scan_body, hidden, (params["layers"], cache["k"], cache["v"])
+    )
+    hidden = layer_norm(
+        hidden, params["norm_f"]["weight"], params["norm_f"]["bias"],
+        cfg.norm_epsilon,
+    )
+    return hidden, {"k": new_k, "v": new_v}

@@ -1,0 +1,147 @@
+"""Zonos model core: code embeddings, output heads, conditioning prep.
+
+Behavioral spec: reference zonos/model.py:22-116. TPU-first engineering:
+
+* the 9 per-codebook embedding tables / output heads are *stacked* along a
+  leading codebook axis so embed/heads are single gathers/einsums (the
+  reference loops over ``nn.ModuleList``, model.py:97-101);
+* head weights are stored ``[K, d_model, vocab]`` so ``apply_heads`` is one
+  MXU einsum producing ``[B, K, V]`` fp32 logits;
+* vocab padding quirk reproduced exactly (zonos/utils.py:12-27): embedding
+  tables pad only when ``d_model % 8 != 0`` (never for shipped checkpoints,
+  so they stay 1026 rows); head out-dims pad ``1025 -> 1026``; logits
+  ``[..., >= 1025]`` are forced to -inf (model.py:115) so the pad slot and
+  MASK can never be sampled.
+
+Everything here is functional: ``params`` pytrees in, arrays out. The decode
+loop lives in ``engine/generate.py``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ZonosConfig
+from ..ops.attention import NEG_INF
+from .backbone import (
+    allocate_kv_cache,
+    init_transformer_backbone,
+    transformer_forward,
+)
+from .conditioners import PrefixConditioner
+
+
+@dataclass(frozen=True)
+class ZonosModel:
+    """Static model wrapper: config + conditioner specs. Parameters travel
+    separately as a pytree (functional style — jit/pjit friendly)."""
+
+    config: ZonosConfig
+
+    @property
+    def prefix_conditioner(self) -> PrefixConditioner:
+        return PrefixConditioner(
+            self.config.prefix_conditioner, self.config.backbone.d_model
+        )
+
+    # -- init ---------------------------------------------------------------
+
+    def init(self, key: jax.Array, dtype=jnp.bfloat16) -> dict:
+        cfg = self.config
+        D = cfg.backbone.d_model
+        K = cfg.num_codebooks
+        emb_v = cfg.vocab_size  # 1026
+        head_v = self.head_out_dim
+        k_emb, k_head, k_bb, k_cond = jax.random.split(key, 4)
+        params = {
+            "embeddings": {
+                "weight": jax.random.normal(k_emb, (K, emb_v, D)).astype(dtype)
+            },
+            "heads": {
+                "weight": (
+                    jax.random.normal(k_head, (K, D, head_v)) / jnp.sqrt(D)
+                ).astype(dtype)
+            },
+            "backbone": init_transformer_backbone(k_bb, cfg.backbone, dtype),
+            "prefix_conditioner": self.prefix_conditioner.init(k_cond, dtype),
+        }
+        return params
+
+    @property
+    def head_out_dim(self) -> int:
+        """1025 padded by the reference quirk to 1026."""
+        return self.config.padded_vocab(self.config.head_vocab_size)
+
+    # -- forward pieces -----------------------------------------------------
+
+    def embed_codes(self, params: dict, codes: jnp.ndarray) -> jnp.ndarray:
+        """``[B, K, S] int -> [B, S, D]``: sum of per-codebook embeddings
+        (model.py:97-98)."""
+        emb = params["embeddings"]["weight"]  # [K, V, D]
+        K = emb.shape[0]
+        gathered = emb[jnp.arange(K)[None, :, None], codes]  # [B, K, S, D]
+        return gathered.sum(axis=1)
+
+    def apply_heads(self, params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
+        """``[B, S, D] -> [B, K, S, V]`` fp32 logits (model.py:100-101)."""
+        return jnp.einsum(
+            "bsd,kdv->bksv",
+            hidden,
+            params["heads"]["weight"],
+            preferred_element_type=jnp.float32,
+        )
+
+    def backbone_forward(self, params, hidden, cache, offset, lengths, rope=None):
+        return transformer_forward(
+            params["backbone"], self.config.backbone, hidden, cache, offset,
+            lengths, rope,
+        )
+
+    def compute_logits(
+        self,
+        params: dict,
+        hidden: jnp.ndarray,
+        cache: dict,
+        offset: jnp.ndarray,
+        lengths: jnp.ndarray,
+        cfg_scale: float,
+        rope=None,
+    ):
+        """Backbone -> last position -> heads -> CFG mix -> pad mask.
+        (model.py:103-116). ``hidden`` is the CFG-doubled ``[2B, S, D]``
+        batch; returns ``([B, K, V] logits, new_cache)``."""
+        out, new_cache = self.backbone_forward(
+            params, hidden, cache, offset, lengths, rope
+        )
+        last = out[:, -1:, :]
+        logits = self.apply_heads(params, last)[:, :, 0, :]  # [2B, K, V]
+        if cfg_scale != 1.0:
+            cond, uncond = jnp.split(logits, 2, axis=0)
+            logits = uncond + (cond - uncond) * cfg_scale
+        # Mask MASK token + pad slots (everything >= 1025).
+        V = logits.shape[-1]
+        mask_from = self.config.head_vocab_size  # 1025
+        col = jnp.arange(V)
+        logits = jnp.where(col[None, None, :] >= mask_from, NEG_INF, logits)
+        return logits, new_cache
+
+    def allocate_cache(self, batch_size: int, max_seqlen: int, dtype=jnp.bfloat16):
+        return allocate_kv_cache(self.config.backbone, batch_size, max_seqlen, dtype)
+
+    # -- conditioning -------------------------------------------------------
+
+    def prepare_conditioning(
+        self, params: dict, cond_dict: dict, uncond_dict: dict | None = None
+    ) -> jnp.ndarray:
+        """``[cond; uncond]`` stacked on batch — CFG doubling happens here,
+        before generation (model.py:204-212)."""
+        pc = self.prefix_conditioner
+        if uncond_dict is None:
+            uncond_dict = {k: cond_dict[k] for k in pc.required_keys}
+        p = params["prefix_conditioner"]
+        return jnp.concatenate(
+            [pc.apply(p, cond_dict), pc.apply(p, uncond_dict)], axis=0
+        )

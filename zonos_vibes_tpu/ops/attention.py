@@ -1,0 +1,126 @@
+"""GQA attention with a preallocated KV cache — XLA reference implementations.
+
+Semantics match the reference backbone (zonos/backbone/_torch.py:105-141):
+
+* fused qkv projection, no bias; RoPE on q and k (interleaved-pair, ops/rope.py)
+* the KV cache is a preallocated ``[B, max_seqlen, H_kv, D]`` buffer updated by
+  slice assignment at the current sequence offset (_torch.py:33-49)
+* prefill attends causally within the new chunk (``is_causal=seqlen > 1``);
+  single-token decode attends to the full valid prefix ``[:sequence_end]``
+  with no causal mask (_torch.py:136)
+* left-padded conditioning tokens are *attended to* (the reference does not
+  mask pads) — parity requires we don't either.
+
+These are the portable jnp paths; the Pallas flash kernels in
+``ops/pallas/`` are drop-in replacements for the same signatures.
+Softmax always accumulates in fp32.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def update_kv_cache(
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    offset: jnp.ndarray,
+):
+    """Write ``k, v`` ``[B, S, H_kv, D]`` into caches at ``[offset:offset+S]``.
+
+    ``offset`` is a scalar (shared across the batch, matching the reference's
+    scalar ``seqlen_offset``). Returns updated ``(k_cache, v_cache)``.
+    """
+    k = k.astype(k_cache.dtype)
+    v = v.astype(v_cache.dtype)
+    zero = jnp.zeros((), dtype=jnp.int32)
+    idx = (zero, jnp.asarray(offset, jnp.int32), zero, zero)
+    k_cache = jax.lax.dynamic_update_slice(k_cache, k, idx)
+    v_cache = jax.lax.dynamic_update_slice(v_cache, v, idx)
+    return k_cache, v_cache
+
+
+def _grouped_scores(q: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """``q [B,S,Hq,D] x k [B,T,Hkv,D] -> scores [B,Hkv,G,S,T]`` (fp32)."""
+    B, S, Hq, D = q.shape
+    Hkv = k.shape[2]
+    G = Hq // Hkv
+    qg = q.reshape(B, S, Hkv, G, D)
+    scores = jnp.einsum(
+        "bskgd,btkd->bkgst", qg, k, preferred_element_type=jnp.float32
+    )
+    return scores * (1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32)))
+
+
+def _apply_scores(probs: jnp.ndarray, v: jnp.ndarray, out_dtype) -> jnp.ndarray:
+    """``probs [B,Hkv,G,S,T] x v [B,T,Hkv,D] -> [B,S,Hq,D]``."""
+    B, Hkv, G, S, T = probs.shape
+    D = v.shape[-1]
+    out = jnp.einsum(
+        "bkgst,btkd->bskgd",
+        probs.astype(v.dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B, S, Hkv * G, D).astype(out_dtype)
+
+
+def prefill_attention(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    offset: jnp.ndarray,
+    chunk_len: int,
+) -> jnp.ndarray:
+    """Causal attention for a prefill chunk already written into the cache.
+
+    Query position ``i`` (absolute ``offset + i``) attends to cache positions
+    ``[0, offset + i]``. For the common first-prefill ``offset == 0`` this is
+    plain causal attention over the chunk.
+
+    Args:
+      q: ``[B, S, Hq, D]`` (RoPE already applied), ``S == chunk_len``.
+      k_cache/v_cache: ``[B, T_max, Hkv, D]`` with the chunk written at
+        ``[offset : offset + S]``.
+      offset: scalar int32 absolute position of the chunk start.
+    Returns ``[B, S, Hq, D]``.
+    """
+    B, S, Hq, D = q.shape
+    T = k_cache.shape[1]
+    scores = _grouped_scores(q, k_cache)  # [B,Hkv,G,S,T]
+    key_pos = jnp.arange(T, dtype=jnp.int32)[None, :]
+    qry_pos = jnp.asarray(offset, jnp.int32) + jnp.arange(S, dtype=jnp.int32)[:, None]
+    mask = key_pos <= qry_pos  # [S, T]
+    scores = jnp.where(mask[None, None, None], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return _apply_scores(probs, v_cache, q.dtype)
+
+
+def decode_attention(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    seq_end: jnp.ndarray,
+) -> jnp.ndarray:
+    """Single-query attention over the valid prefix ``[:seq_end]``.
+
+    Args:
+      q: ``[B, 1, Hq, D]``.
+      k_cache/v_cache: ``[B, T_max, Hkv, D]``.
+      seq_end: scalar int32 — number of valid cache positions (inclusive of
+        the token just written).
+    Returns ``[B, 1, Hq, D]``.
+    """
+    T = k_cache.shape[1]
+    scores = _grouped_scores(q, k_cache)  # [B,Hkv,G,1,T]
+    valid = jnp.arange(T, dtype=jnp.int32)[None, None, None, None, :] < jnp.asarray(
+        seq_end, jnp.int32
+    )
+    scores = jnp.where(valid, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return _apply_scores(probs, v_cache, q.dtype)
