@@ -1,0 +1,85 @@
+"""Headline benchmark: real-time factor (audio-seconds generated per wall
+second) of the flagship Zonos-v0.1-transformer-scale decode on one chip.
+
+Prints ONE JSON line:
+  {"metric": "rtf_per_chip", "value": N, "unit": "audio_s_per_s",
+   "vs_baseline": N / 2.0}
+
+Baseline: the reference reports ~2x real-time on an RTX 4090
+(reference README.md:84; BASELINE.md). DAC frame rate 86.13 Hz
+(44100 / 512, autoencoder.py:19).
+
+Method: random-init flagship params (no checkpoint egress in this
+environment — topology identical to the real config), full jitted generate
+(prefill + while-loop decode, CFG batch doubling, min-p sampling,
+EOS disabled so the run length is fixed). One warmup call compiles; the
+timed call measures steady-state. RTF = frames / 86.1328 / elapsed.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+FRAME_RATE = 44100 / 512  # 86.1328 Hz
+
+
+def main() -> None:
+    from zonos_vibes_tpu.config import ZONOS_V01_TRANSFORMER
+    from zonos_vibes_tpu.engine.generate import DecodeEngine
+    from zonos_vibes_tpu.models.zonos import ZonosModel
+    from zonos_vibes_tpu.ops.sampling import SamplingParams
+
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 430  # 5 s of audio
+
+    model = ZonosModel(ZONOS_V01_TRANSFORMER)
+    params = model.init(jax.random.key(0))
+    engine = DecodeEngine(model)
+
+    # Conditioning prefix: typical phonemized-sentence length (~60 tokens).
+    phonemes = jnp.concatenate(
+        [jnp.asarray([[2]]), jnp.full((1, 58), 40, jnp.int32), jnp.asarray([[3]])],
+        axis=1,
+    )
+    cond = model.prepare_conditioning(params, {"espeak": phonemes})
+    jax.block_until_ready(cond)
+
+    kwargs = dict(
+        max_new_tokens=steps,
+        cfg_scale=2.0,
+        sampling_params=SamplingParams(min_p=0.1),
+        disable_eos=True,
+    )
+
+    # Warmup / compile. NOTE: use device_get (not block_until_ready) to
+    # synchronize — the experimental remote-TPU platform's block_until_ready
+    # returns before execution finishes; a host transfer is a true barrier.
+    res = engine.generate(params, cond, key=jax.random.key(1), **kwargs)
+    jax.device_get(res.codes)
+
+    t0 = time.perf_counter()
+    res = engine.generate(params, cond, key=jax.random.key(2), **kwargs)
+    jax.device_get(res.codes)
+    elapsed = time.perf_counter() - t0
+
+    frames = int(res.valid_length)
+    audio_s = frames / FRAME_RATE
+    rtf = audio_s / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "rtf_per_chip",
+                "value": round(rtf, 4),
+                "unit": "audio_s_per_s",
+                "vs_baseline": round(rtf / 2.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

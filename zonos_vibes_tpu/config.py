@@ -132,6 +132,11 @@ class ZonosConfig:
     pad_vocab_to_multiple_of: int = 8
     num_codebooks: int = 9
     codebook_size: int = 1024
+    # TPU-native: output heads are padded to a multiple of the MXU lane width
+    # (128) instead of the reference's 1026 (utils.py:22-25). Pad logits are
+    # masked to -inf (model.py:115 semantics), so sampling is unaffected, the
+    # matmul tiles cleanly, and the vocab dim shards evenly under TP.
+    head_pad_to_multiple: int = 128
 
     @classmethod
     def from_dict(cls, d: dict) -> "ZonosConfig":
@@ -214,11 +219,37 @@ class RuntimeConfig:
     donate_decode_state: bool = True
 
 
-DEFAULT_TRANSFORMER_CONFIG = ZonosConfig(
+_ZONOS_V01_CONDITIONERS = (
+    {"type": "EspeakPhonemeConditioner", "name": "espeak"},
+    {"type": "PassthroughConditioner", "name": "speaker", "cond_dim": 128,
+     "projection": "linear", "uncond_type": "learned"},
+    {"type": "FourierConditioner", "name": "emotion", "input_dim": 8,
+     "uncond_type": "learned"},
+    {"type": "FourierConditioner", "name": "fmax", "min_val": 0,
+     "max_val": 24000, "uncond_type": "learned"},
+    {"type": "FourierConditioner", "name": "pitch_std", "min_val": 0,
+     "max_val": 400, "uncond_type": "learned"},
+    {"type": "FourierConditioner", "name": "speaking_rate", "min_val": 0,
+     "max_val": 40, "uncond_type": "learned"},
+    {"type": "IntegerConditioner", "name": "language_id", "min_val": -1,
+     "max_val": 126, "uncond_type": "learned"},
+)
+
+# Flagship topology (Zonos-v0.1-transformer scale, ~1.6B params). The real
+# values always come from the checkpoint's config.json at load time
+# (utils/checkpoint.py); this literal exists for benches/dry-runs in
+# checkpoint-less environments.
+ZONOS_V01_TRANSFORMER = ZonosConfig(
     backbone=BackboneConfig(
-        d_model=1024,
-        n_layer=16,
-        attn_mlp_d_intermediate=0,
-        attn_cfg=_freeze({"num_heads": 16, "num_heads_kv": 4, "head_dim": 64}),
+        d_model=2048,
+        n_layer=26,
+        attn_mlp_d_intermediate=8192,
+        attn_cfg=_freeze({"num_heads": 32, "num_heads_kv": 8}),
+    ),
+    prefix_conditioner=PrefixConditionerConfig.from_dict(
+        {"projection": "linear",
+         "conditioners": list(_ZONOS_V01_CONDITIONERS)}
     ),
 )
+
+DEFAULT_TRANSFORMER_CONFIG = ZONOS_V01_TRANSFORMER

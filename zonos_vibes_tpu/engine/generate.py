@@ -57,6 +57,7 @@ class GenerateResult:
     jax.jit,
     static_argnames=(
         "model", "prefix_audio_len", "max_new_tokens", "cfg_scale", "sampling",
+        "disable_eos",
     ),
     donate_argnames=(),
 )
@@ -70,6 +71,7 @@ def generate_jit(
     max_new_tokens: int,
     cfg_scale: float,
     sampling: SamplingParams,
+    disable_eos: bool = False,
 ):
     cfg: ZonosConfig = model.config
     K = cfg.num_codebooks
@@ -113,9 +115,11 @@ def generate_jit(
 
     prefix_length = cond_len + lp + 1  # cache positions consumed so far
 
-    # EOS only from codebook 0 (model.py:266-267).
+    # EOS only from codebook 0 (model.py:266-267). With disable_eos the run
+    # is fixed-length (bench mode / forced duration): no codebook may stop.
     logit_bias = jnp.zeros_like(logits)
-    logit_bias = logit_bias.at[:, 1:, eos].set(NEG_INF)
+    eos_rows = slice(0, None) if disable_eos else slice(1, None)
+    logit_bias = logit_bias.at[:, eos_rows, eos].set(NEG_INF)
 
     max_steps = delayed.shape[-1] - offset0
 
@@ -210,6 +214,7 @@ class DecodeEngine:
         max_new_tokens: int = 86 * 30,
         cfg_scale: float = 2.0,
         sampling_params: SamplingParams | dict | None = None,
+        disable_eos: bool = False,
     ) -> GenerateResult:
         if cfg_scale == 1.0:
             raise NotImplementedError(
@@ -234,5 +239,6 @@ class DecodeEngine:
             int(max_new_tokens),
             float(cfg_scale),
             sampling_params,
+            disable_eos,
         )
         return GenerateResult(codes=codes, valid_length=valid)

@@ -72,8 +72,11 @@ class ZonosModel:
 
     @property
     def head_out_dim(self) -> int:
-        """1025 padded by the reference quirk to 1026."""
-        return self.config.padded_vocab(self.config.head_vocab_size)
+        """Head vocab (1025) padded up to the MXU lane width — 1152 by
+        default (config.head_pad_to_multiple). Pad slots are -inf-masked."""
+        m = self.config.head_pad_to_multiple
+        n = self.config.head_vocab_size
+        return n if n % m == 0 else n + m - (n % m)
 
     # -- forward pieces -----------------------------------------------------
 
