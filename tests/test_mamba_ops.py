@@ -1,0 +1,104 @@
+"""SSD (Mamba-2) op tests: chunked scan vs the exact sequential recurrence,
+step/prefill consistency, causal-conv state handling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zonos_vibes_tpu.ops.mamba import (
+    causal_conv1d,
+    causal_conv1d_step,
+    ssd_chunked,
+    ssd_naive,
+    ssd_step,
+)
+
+
+def _inputs(B=2, L=19, H=4, P=8, G=2, N=16, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((B, L, H, P)).astype(np.float32))
+    dt = jnp.asarray(
+        np.log1p(np.exp(rng.standard_normal((B, L, H)))).astype(np.float32)
+    )  # softplus-positive
+    A = jnp.asarray(-np.exp(rng.standard_normal(H)).astype(np.float32))
+    Bm = jnp.asarray(rng.standard_normal((B, L, G, N)).astype(np.float32) * 0.5)
+    Cm = jnp.asarray(rng.standard_normal((B, L, G, N)).astype(np.float32) * 0.5)
+    D = jnp.asarray(rng.standard_normal(H).astype(np.float32))
+    return x, dt, A, Bm, Cm, D
+
+
+def test_chunked_matches_naive():
+    x, dt, A, Bm, Cm, D = _inputs()
+    y_ref, h_ref = ssd_naive(x, dt, A, Bm, Cm, D)
+    for chunk in (4, 8, 64):
+        y, h = ssd_chunked(x, dt, A, Bm, Cm, D, chunk=chunk)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_chunked_with_init_state():
+    x, dt, A, Bm, Cm, D = _inputs(seed=1)
+    B, _, H, P = x.shape
+    N = Bm.shape[-1]
+    h0 = jnp.asarray(
+        np.random.default_rng(9).standard_normal((B, H, P, N)).astype(np.float32)
+    )
+    y_ref, h_ref = ssd_naive(x, dt, A, Bm, Cm, D, init_state=h0)
+    y, h = ssd_chunked(x, dt, A, Bm, Cm, D, chunk=8, init_state=h0)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_prefill_then_steps_consistency():
+    """Chunked prefill of L tokens == prefill of L-3 + 3 recurrent steps."""
+    x, dt, A, Bm, Cm, D = _inputs(L=16, seed=2)
+    y_full, h_full = ssd_chunked(x, dt, A, Bm, Cm, D, chunk=8)
+    y_pre, h = ssd_chunked(
+        x[:, :13], dt[:, :13], A, Bm[:, :13], Cm[:, :13], D, chunk=8
+    )
+    ys = [y_pre]
+    for t in range(13, 16):
+        y_t, h = ssd_step(h, x[:, t], dt[:, t], A, Bm[:, t], Cm[:, t], D)
+        ys.append(y_t[:, None])
+    y_cat = jnp.concatenate(ys, axis=1)
+    np.testing.assert_allclose(np.asarray(y_cat), np.asarray(y_full),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_full),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_causal_conv_matches_explicit():
+    rng = np.random.default_rng(3)
+    B, L, C, K = 2, 10, 6, 4
+    x = jnp.asarray(rng.standard_normal((B, L, C)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((K, C)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(C).astype(np.float32))
+    y, state = causal_conv1d(x, w, b)
+    # Explicit: y[t, c] = sum_k w[k, c] * x[t - (K-1) + k, c] (zero-padded)
+    xp = np.pad(np.asarray(x), ((0, 0), (K - 1, 0), (0, 0)))
+    ref = np.stack(
+        [sum(np.asarray(w)[k] * xp[:, t + k, :] for k in range(K))
+         for t in range(L)], axis=1,
+    ) + np.asarray(b)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(state), np.asarray(x[:, -(K - 1):, :]))
+
+
+def test_causal_conv_step_consistency():
+    rng = np.random.default_rng(4)
+    B, L, C, K = 1, 8, 4, 4
+    x = jnp.asarray(rng.standard_normal((B, L, C)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((K, C)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(C).astype(np.float32))
+    y_full, _ = causal_conv1d(x, w, b)
+    state = jnp.zeros((B, K - 1, C), jnp.float32)
+    outs = []
+    for t in range(L):
+        y_t, state = causal_conv1d_step(x[:, t], w, b, state)
+        outs.append(y_t)
+    np.testing.assert_allclose(
+        np.asarray(jnp.stack(outs, axis=1)), np.asarray(y_full),
+        rtol=1e-5, atol=1e-5,
+    )

@@ -167,3 +167,26 @@ def transformer_forward(
         cfg.norm_epsilon,
     )
     return hidden, {"k": new_k, "v": new_v}
+
+
+class TransformerBackbone:
+    """Class wrapper over the functional transformer stack — uniform
+    interface with :class:`..models.mamba_backbone.HybridBackbone`
+    (mirrors the reference registry contract, backbone/__init__.py:1-12)."""
+
+    supported_architectures = ["transformer"]
+
+    def __init__(self, cfg: BackboneConfig):
+        assert not cfg.is_hybrid, "transformer backbone requires empty ssm_cfg"
+        self.cfg = cfg
+
+    def init(self, key, dtype=jnp.bfloat16) -> dict:
+        return init_transformer_backbone(key, self.cfg, dtype)
+
+    def allocate_cache(self, batch: int, max_seqlen: int, dtype=jnp.bfloat16):
+        return allocate_kv_cache(self.cfg, batch, max_seqlen, dtype)
+
+    def forward(self, params, hidden, cache, offset, lengths, rope=None):
+        return transformer_forward(
+            params, self.cfg, hidden, cache, offset, lengths, rope
+        )

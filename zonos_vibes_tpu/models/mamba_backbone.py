@@ -1,0 +1,307 @@
+"""Hybrid (Mamba-2 + attention) backbone — TPU-native re-design of the
+reference's mamba-ssm-based backbone (zonos/backbone/_mamba_ssm.py:9-57).
+
+The reference builds each layer with ``mamba_ssm...create_block``: a Mamba-2
+mixer everywhere except ``attn_layer_idx``, which get MHA (+ gated-MLP when
+``attn_mlp_d_intermediate > 0``); blocks use fused add+RMSNorm with the
+residual stream in fp32, and a final fused norm. Here the same dataflow is
+expressed functionally:
+
+  residual = hidden + residual            (fp32 when residual_in_fp32)
+  hidden   = Norm(residual)
+  hidden   = Mixer(hidden)                 (Mamba2 SSD or MHA)
+  [if MLP]  residual = hidden + residual; hidden = Norm2(residual);
+            hidden = GatedMLP(hidden)
+  ...
+  out = NormF(hidden + residual)
+
+Mixers:
+* **Mamba2** (ops/mamba.py): fused in_proj -> (z, xBC, dt); short causal
+  depthwise conv + SiLU on xBC; SSD chunked scan (prefill) or recurrent step
+  (decode) with per-head A/D and softplus dt; gated RMSNorm
+  ``rmsnorm(y * silu(z))``; out_proj.
+* **MHA**: GQA with mamba-style rotary (rotate-half convention, partial
+  ``rotary_emb_dim``), reusing the shared KV-cache attention ops.
+
+Layers are heterogeneous, so the stack is a Python loop (static unroll under
+jit) rather than a scan; the cache pytree is a per-layer list of either
+``{"conv", "ssm"}`` or ``{"k", "v"}`` states — the analogue of the
+reference's ``key_value_memory_dict`` (config.py:8-25).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..config import BackboneConfig
+from ..ops.attention import decode_attention, prefill_attention, update_kv_cache
+from ..ops.mamba import (
+    causal_conv1d,
+    causal_conv1d_step,
+    ssd_chunked,
+    ssd_step,
+)
+from ..ops.mlp import swiglu
+from ..ops.norms import rms_norm, layer_norm
+
+
+def _rotate_half(x):
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rope_half(
+    x: jnp.ndarray, positions: jnp.ndarray, rotary_dim: int,
+    base: float = 10000.0,
+) -> jnp.ndarray:
+    """GPT-NeoX-style rotary (mamba-ssm MHA convention, interleaved=False)
+    on the first ``rotary_dim`` features of each head."""
+    if rotary_dim == 0:
+        return x
+    B, S, H, D = x.shape
+    inv = 1.0 / (base ** (jnp.arange(0, rotary_dim, 2, jnp.float32) / rotary_dim))
+    ang = positions.astype(jnp.float32)[..., None] * inv  # [B, S, rd/2]
+    # rotate-half operates on (first, second) halves of the rotary slice
+    cos = jnp.concatenate([jnp.cos(ang), jnp.cos(ang)], axis=-1)[:, :, None, :]
+    sin = jnp.concatenate([jnp.sin(ang), jnp.sin(ang)], axis=-1)[:, :, None, :]
+    xr = x[..., :rotary_dim].astype(jnp.float32)
+    rotated = xr * cos + _rotate_half(xr) * sin
+    return jnp.concatenate(
+        [rotated.astype(x.dtype), x[..., rotary_dim:]], axis=-1
+    )
+
+
+class Mamba2Spec:
+    """Static geometry from ``ssm_cfg`` (Mamba2 module defaults)."""
+
+    def __init__(self, d_model: int, ssm_cfg: dict):
+        self.d_model = d_model
+        self.d_state = ssm_cfg.get("d_state", 128)
+        self.d_conv = ssm_cfg.get("d_conv", 4)
+        self.expand = ssm_cfg.get("expand", 2)
+        self.headdim = ssm_cfg.get("headdim", 64)
+        self.ngroups = ssm_cfg.get("ngroups", 1)
+        self.chunk = ssm_cfg.get("chunk_size", 64)
+        self.d_inner = self.expand * d_model
+        assert self.d_inner % self.headdim == 0
+        self.nheads = self.d_inner // self.headdim
+        self.conv_dim = self.d_inner + 2 * self.ngroups * self.d_state
+        self.d_in_proj = 2 * self.d_inner + 2 * self.ngroups * self.d_state + self.nheads
+
+
+class HybridBackbone:
+    supported_architectures = ["transformer", "hybrid"]
+
+    def __init__(self, cfg: BackboneConfig):
+        self.cfg = cfg
+        self.ssm = Mamba2Spec(cfg.d_model, cfg.ssm_cfg_dict)
+        acfg = cfg.attn_cfg_dict
+        self.attn_idx = set(cfg.attn_layer_idx)
+        self.num_heads = acfg.get("num_heads", 16)
+        self.num_heads_kv = acfg.get("num_heads_kv", self.num_heads)
+        self.head_dim = acfg.get("head_dim", cfg.d_model // self.num_heads)
+        self.rotary_dim = acfg.get("rotary_emb_dim", self.head_dim // 2)
+        self.mlp_dim = cfg.attn_mlp_d_intermediate
+        self.d_intermediate = cfg.d_intermediate
+
+    def _is_attn(self, i: int) -> bool:
+        return i in self.attn_idx
+
+    # -- init ---------------------------------------------------------------
+
+    def init(self, key: jax.Array, dtype=jnp.bfloat16) -> dict:
+        cfg, s = self.cfg, self.ssm
+        D = cfg.d_model
+        layers = []
+        keys = jax.random.split(key, cfg.n_layer + 1)
+
+        def dense(k, din, dout):
+            return (jax.random.normal(k, (din, dout), jnp.float32)
+                    / math.sqrt(din)).astype(dtype)
+
+        def norm_params():
+            p = {"weight": jnp.ones((D,), dtype)}
+            if not cfg.rms_norm:
+                p["bias"] = jnp.zeros((D,), dtype)
+            return p
+
+        for i in range(cfg.n_layer):
+            k = jax.random.split(keys[i], 8)
+            if self._is_attn(i):
+                qkv_out = (self.num_heads + 2 * self.num_heads_kv) * self.head_dim
+                layer = {
+                    "norm": norm_params(),
+                    "in_proj": {"weight": dense(k[0], D, qkv_out)},
+                    "out_proj": {"weight": dense(k[1], self.num_heads * self.head_dim, D)},
+                }
+                if self.mlp_dim > 0:
+                    layer["norm2"] = norm_params()
+                    layer["fc1"] = {"weight": dense(k[2], D, 2 * self.mlp_dim)}
+                    layer["fc2"] = {"weight": dense(k[3], self.mlp_dim, D)}
+            else:
+                layer = {
+                    "norm": norm_params(),
+                    "in_proj": {"weight": dense(k[0], D, s.d_in_proj)},
+                    "conv1d": {
+                        "weight": (jax.random.normal(k[1], (s.d_conv, s.conv_dim))
+                                   * 0.2).astype(dtype),
+                        "bias": jnp.zeros((s.conv_dim,), dtype),
+                    },
+                    "dt_bias": jnp.zeros((s.nheads,), jnp.float32),
+                    "A_log": jnp.zeros((s.nheads,), jnp.float32),
+                    "D": jnp.ones((s.nheads,), jnp.float32),
+                    "ssm_norm": {"weight": jnp.ones((s.d_inner,), dtype)},
+                    "out_proj": {"weight": dense(k[2], s.d_inner, D)},
+                }
+                if self.d_intermediate > 0:
+                    layer["norm2"] = norm_params()
+                    layer["fc1"] = {"weight": dense(k[3], D, 2 * self.d_intermediate)}
+                    layer["fc2"] = {"weight": dense(k[4], self.d_intermediate, D)}
+            layers.append(layer)
+        return {"layers": layers, "norm_f": {"weight": jnp.ones((D,), dtype),
+                                             **({} if cfg.rms_norm else
+                                                {"bias": jnp.zeros((D,), dtype)})}}
+
+    # -- cache --------------------------------------------------------------
+
+    def allocate_cache(self, batch: int, max_seqlen: int, dtype=jnp.bfloat16):
+        s = self.ssm
+        caches = []
+        for i in range(self.cfg.n_layer):
+            if self._is_attn(i):
+                shape = (batch, max_seqlen, self.num_heads_kv, self.head_dim)
+                caches.append({"k": jnp.zeros(shape, dtype),
+                               "v": jnp.zeros(shape, dtype)})
+            else:
+                caches.append({
+                    "conv": jnp.zeros((batch, s.d_conv - 1, s.conv_dim), dtype),
+                    "ssm": jnp.zeros((batch, s.nheads, s.headdim, s.d_state),
+                                     jnp.float32),
+                })
+        return caches
+
+    # -- norms --------------------------------------------------------------
+
+    def _norm(self, p, x):
+        if self.cfg.rms_norm:
+            return rms_norm(x, p["weight"], self.cfg.norm_epsilon)
+        return layer_norm(x, p["weight"], p.get("bias"), self.cfg.norm_epsilon)
+
+    # -- mixers -------------------------------------------------------------
+
+    def _mamba_mixer(self, lp, x, cache, is_decode: bool):
+        s = self.ssm
+        B, S, D = x.shape
+        zxbcdt = x @ lp["in_proj"]["weight"]
+        z, xBC, dt = jnp.split(
+            zxbcdt, [s.d_inner, 2 * s.d_inner + 2 * s.ngroups * s.d_state], axis=-1
+        )
+        dt = jax.nn.softplus(dt.astype(jnp.float32) + lp["dt_bias"])
+        A = -jnp.exp(lp["A_log"])
+
+        if is_decode:
+            xBC_t, conv_state = causal_conv1d_step(
+                xBC[:, 0], lp["conv1d"]["weight"], lp["conv1d"]["bias"],
+                cache["conv"],
+            )
+            xBC_t = jax.nn.silu(xBC_t)
+            xs, Bm, Cm = jnp.split(
+                xBC_t, [s.d_inner, s.d_inner + s.ngroups * s.d_state], axis=-1
+            )
+            y, ssm_state = ssd_step(
+                cache["ssm"],
+                xs.reshape(B, s.nheads, s.headdim),
+                dt[:, 0],
+                A,
+                Bm.reshape(B, s.ngroups, s.d_state),
+                Cm.reshape(B, s.ngroups, s.d_state),
+                lp["D"],
+            )
+            y = y.reshape(B, 1, s.d_inner)
+        else:
+            xBC_c, conv_state = causal_conv1d(
+                xBC, lp["conv1d"]["weight"], lp["conv1d"]["bias"], cache["conv"]
+            )
+            xBC_c = jax.nn.silu(xBC_c)
+            xs, Bm, Cm = jnp.split(
+                xBC_c, [s.d_inner, s.d_inner + s.ngroups * s.d_state], axis=-1
+            )
+            y, ssm_state = ssd_chunked(
+                xs.reshape(B, S, s.nheads, s.headdim),
+                dt,
+                A,
+                Bm.reshape(B, S, s.ngroups, s.d_state),
+                Cm.reshape(B, S, s.ngroups, s.d_state),
+                lp["D"],
+                chunk=s.chunk,
+                init_state=cache["ssm"],
+            )
+            y = y.reshape(B, S, s.d_inner)
+
+        # Gated RMSNorm: rmsnorm(y * silu(z)) * weight (norm_before_gate=False)
+        y = rms_norm(y * jax.nn.silu(z), lp["ssm_norm"]["weight"],
+                     self.cfg.norm_epsilon)
+        out = y @ lp["out_proj"]["weight"]
+        return out, {"conv": conv_state, "ssm": ssm_state}
+
+    def _attn_mixer(self, lp, x, cache, offset, positions, is_decode: bool):
+        B, S, D = x.shape
+        Hq, Hkv, Dh = self.num_heads, self.num_heads_kv, self.head_dim
+        qkv = x @ lp["in_proj"]["weight"]
+        q, k, v = jnp.split(qkv, [Hq * Dh, (Hq + Hkv) * Dh], axis=-1)
+        q = q.reshape(B, S, Hq, Dh)
+        k = k.reshape(B, S, Hkv, Dh)
+        v = v.reshape(B, S, Hkv, Dh)
+        q = apply_rope_half(q, positions, self.rotary_dim)
+        k = apply_rope_half(k, positions, self.rotary_dim)
+        k_cache, v_cache = update_kv_cache(cache["k"], cache["v"], k, v, offset)
+        if is_decode:
+            y = decode_attention(q, k_cache, v_cache, offset + S)
+        else:
+            y = prefill_attention(q, k_cache, v_cache, offset, S)
+        out = y.reshape(B, S, Hq * Dh) @ lp["out_proj"]["weight"]
+        return out, {"k": k_cache, "v": v_cache}
+
+    # -- forward ------------------------------------------------------------
+
+    def forward(
+        self,
+        params: dict,
+        hidden: jnp.ndarray,
+        cache: list,
+        offset: jnp.ndarray,
+        lengths_per_sample: jnp.ndarray,
+        rope=None,  # unused (per-layer rotary); kept for interface parity
+    ):
+        cfg = self.cfg
+        B, S, D = hidden.shape
+        positions = (
+            jnp.arange(S, dtype=jnp.int32)[None, :]
+            + lengths_per_sample.astype(jnp.int32)[:, None]
+        )
+        is_decode = S == 1
+        residual = None
+        new_cache = []
+        for i, lp in enumerate(params["layers"]):
+            residual = hidden if residual is None else hidden + residual
+            if cfg.residual_in_fp32:
+                residual = residual.astype(jnp.float32)
+            normed = self._norm(lp["norm"], residual.astype(hidden.dtype))
+            if self._is_attn(i):
+                mixed, c = self._attn_mixer(
+                    lp, normed, cache[i], offset, positions, is_decode
+                )
+            else:
+                mixed, c = self._mamba_mixer(lp, normed, cache[i], is_decode)
+            hidden = mixed
+            if "fc1" in lp:
+                residual = hidden + residual
+                normed = self._norm(lp["norm2"], residual.astype(mixed.dtype))
+                hidden = swiglu(normed, lp["fc1"]["weight"], lp["fc2"]["weight"])
+            new_cache.append(c)
+        residual = hidden + residual
+        out = self._norm(params["norm_f"], residual.astype(hidden.dtype))
+        return out, new_cache

@@ -26,12 +26,8 @@ import jax.numpy as jnp
 
 from ..config import ZonosConfig
 from ..ops.attention import NEG_INF
-from .backbone import (
-    allocate_kv_cache,
-    init_transformer_backbone,
-    transformer_forward,
-)
 from .conditioners import PrefixConditioner
+from .registry import backbone_for_config
 
 
 @dataclass(frozen=True)
@@ -40,6 +36,11 @@ class ZonosModel:
     separately as a pytree (functional style — jit/pjit friendly)."""
 
     config: ZonosConfig
+    backbone_name: str | None = None  # None = route by ssm_cfg (model.py:73-77)
+
+    @property
+    def backbone(self):
+        return backbone_for_config(self.config.backbone, self.backbone_name)
 
     @property
     def prefix_conditioner(self) -> PrefixConditioner:
@@ -65,7 +66,7 @@ class ZonosModel:
                     jax.random.normal(k_head, (K, D, head_v)) / jnp.sqrt(D)
                 ).astype(dtype)
             },
-            "backbone": init_transformer_backbone(k_bb, cfg.backbone, dtype),
+            "backbone": self.backbone.init(k_bb, dtype),
             "prefix_conditioner": self.prefix_conditioner.init(k_cond, dtype),
         }
         return params
@@ -98,9 +99,8 @@ class ZonosModel:
         )
 
     def backbone_forward(self, params, hidden, cache, offset, lengths, rope=None):
-        return transformer_forward(
-            params["backbone"], self.config.backbone, hidden, cache, offset,
-            lengths, rope,
+        return self.backbone.forward(
+            params["backbone"], hidden, cache, offset, lengths, rope
         )
 
     def compute_logits(
@@ -132,7 +132,7 @@ class ZonosModel:
         return logits, new_cache
 
     def allocate_cache(self, batch_size: int, max_seqlen: int, dtype=jnp.bfloat16):
-        return allocate_kv_cache(self.config.backbone, batch_size, max_seqlen, dtype)
+        return self.backbone.allocate_cache(batch_size, max_seqlen, dtype)
 
     # -- conditioning -------------------------------------------------------
 
