@@ -1,0 +1,40 @@
+"""Pallas flash-decode kernel vs the XLA reference (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zonos_vibes_tpu.ops.attention import decode_attention
+from zonos_vibes_tpu.ops.pallas.decode_attention import decode_attention_pallas
+
+
+@pytest.mark.parametrize("seq_end", [1, 60, 128, 200])
+def test_matches_xla_reference(seq_end):
+    rng = np.random.default_rng(0)
+    B, Hq, Hkv, D, T = 2, 8, 2, 64, 256
+    q = jnp.asarray(rng.standard_normal((B, 1, Hq, D)).astype(np.float32))
+    kc = jnp.asarray(rng.standard_normal((B, Hkv, D, T)).astype(np.float32))
+    vc = jnp.asarray(rng.standard_normal((B, Hkv, D, T)).astype(np.float32))
+
+    ref = decode_attention(q, kc, vc, jnp.int32(seq_end))
+    out = decode_attention_pallas(
+        q, kc, vc, jnp.int32(seq_end), block=128, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_bf16_inputs():
+    rng = np.random.default_rng(1)
+    B, Hq, Hkv, D, T = 1, 4, 4, 64, 128
+    q = jnp.asarray(rng.standard_normal((B, 1, Hq, D)), jnp.bfloat16)
+    kc = jnp.asarray(rng.standard_normal((B, Hkv, D, T)), jnp.bfloat16)
+    vc = jnp.asarray(rng.standard_normal((B, Hkv, D, T)), jnp.bfloat16)
+    ref = decode_attention(q, kc, vc, jnp.int32(77))
+    out = decode_attention_pallas(q, kc, vc, jnp.int32(77), block=128,
+                                  interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=3e-2, atol=3e-2,
+    )

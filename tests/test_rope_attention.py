@@ -51,8 +51,8 @@ def test_prefill_attention_matches_sdpa():
     k = rng.standard_normal((B, S, Hkv, D)).astype(np.float32)
     v = rng.standard_normal((B, S, Hkv, D)).astype(np.float32)
 
-    kc = jnp.zeros((B, T, Hkv, D), jnp.float32)
-    vc = jnp.zeros((B, T, Hkv, D), jnp.float32)
+    kc = jnp.zeros((B, Hkv, D, T), jnp.float32)
+    vc = jnp.zeros((B, Hkv, D, T), jnp.float32)
     kc, vc = update_kv_cache(kc, vc, jnp.asarray(k), jnp.asarray(v), jnp.int32(0))
     ours = np.asarray(
         prefill_attention(jnp.asarray(q), kc, vc, jnp.int32(0), S)
@@ -71,8 +71,8 @@ def test_decode_attention_matches_sdpa_full_prefix():
     B, Hq, Hkv, D, T = 2, 8, 2, 16, 32
     seq_end = 20
     q = rng.standard_normal((B, 1, Hq, D)).astype(np.float32)
-    kcache = rng.standard_normal((B, T, Hkv, D)).astype(np.float32)
-    vcache = rng.standard_normal((B, T, Hkv, D)).astype(np.float32)
+    kcache = rng.standard_normal((B, Hkv, D, T)).astype(np.float32)
+    vcache = rng.standard_normal((B, Hkv, D, T)).astype(np.float32)
 
     ours = np.asarray(
         decode_attention(
@@ -81,8 +81,8 @@ def test_decode_attention_matches_sdpa_full_prefix():
         )
     )
     qt = torch.from_numpy(q).transpose(1, 2)
-    kt = torch.from_numpy(kcache[:, :seq_end]).transpose(1, 2)
-    vt = torch.from_numpy(vcache[:, :seq_end]).transpose(1, 2)
+    kt = torch.from_numpy(kcache[..., :seq_end]).transpose(2, 3)  # [B,H,T,D]
+    vt = torch.from_numpy(vcache[..., :seq_end]).transpose(2, 3)
     ref = F.scaled_dot_product_attention(qt, kt, vt, is_causal=False, enable_gqa=True)
     ref = ref.transpose(1, 2).numpy()
     np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-5)
@@ -96,8 +96,8 @@ def test_prefill_then_decode_consistency():
     k = jnp.asarray(rng.standard_normal((B, S + 1, Hkv, D)).astype(np.float32))
     v = jnp.asarray(rng.standard_normal((B, S + 1, Hkv, D)).astype(np.float32))
 
-    kc = jnp.zeros((B, T, Hkv, D), jnp.float32)
-    vc = jnp.zeros((B, T, Hkv, D), jnp.float32)
+    kc = jnp.zeros((B, Hkv, D, T), jnp.float32)
+    vc = jnp.zeros((B, Hkv, D, T), jnp.float32)
     kc_full, vc_full = update_kv_cache(kc, vc, k, v, jnp.int32(0))
     full = prefill_attention(q, kc_full, vc_full, jnp.int32(0), S + 1)
 

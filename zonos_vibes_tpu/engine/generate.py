@@ -85,7 +85,9 @@ def generate_jit(
     seq_len = _find_multiple(cond_len + audio_seq_len + K, 8)
 
     rope = rope_table(cfg.backbone.head_dim)
-    cache = model.allocate_cache(two_b, seq_len)
+    # Cache dtype follows the activation dtype (bf16 for real checkpoints,
+    # fp32 in CPU tests — mixed bf16/fp32 dots also don't lower on XLA:CPU).
+    cache = model.allocate_cache(two_b, seq_len, prefix_conditioning.dtype)
 
     # -- code grid + delay pattern (model.py:246-253) -----------------------
     codes = jnp.full((batch, K, audio_seq_len), UNKNOWN_TOKEN, jnp.int32)

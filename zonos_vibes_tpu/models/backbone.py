@@ -72,10 +72,11 @@ def init_transformer_backbone(
 def allocate_kv_cache(
     cfg: BackboneConfig, batch_size: int, max_seqlen: int, dtype=jnp.bfloat16
 ) -> dict:
-    """Preallocated per-layer KV cache pytree ``[L, B, T, Hkv, Dh]``
-    (reference allocates ``[B, T, 2, Hkv, Dh]`` per layer, _torch.py:97)."""
+    """Preallocated per-layer KV cache pytree ``[L, B, Hkv, Dh, T]``
+    (head-major, time-minor slabs for the Pallas decode kernel; the reference
+    allocates ``[B, T, 2, Hkv, Dh]`` per layer, _torch.py:97)."""
     L = cfg.n_layer
-    shape = (L, batch_size, max_seqlen, cfg.num_heads_kv, cfg.head_dim)
+    shape = (L, batch_size, cfg.num_heads_kv, cfg.head_dim, max_seqlen)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 

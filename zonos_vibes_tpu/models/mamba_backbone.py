@@ -172,7 +172,7 @@ class HybridBackbone:
         caches = []
         for i in range(self.cfg.n_layer):
             if self._is_attn(i):
-                shape = (batch, max_seqlen, self.num_heads_kv, self.head_dim)
+                shape = (batch, self.num_heads_kv, self.head_dim, max_seqlen)
                 caches.append({"k": jnp.zeros(shape, dtype),
                                "v": jnp.zeros(shape, dtype)})
             else:

@@ -31,38 +31,43 @@ def update_kv_cache(
     v: jnp.ndarray,
     offset: jnp.ndarray,
 ):
-    """Write ``k, v`` ``[B, S, H_kv, D]`` into caches at ``[offset:offset+S]``.
+    """Write ``k, v`` ``[B, S, H_kv, D]`` into ``[B, H_kv, D, T]`` caches at
+    time slots ``[offset:offset+S]``.
 
+    Cache layout is head-major and TIME-MINOR (``[B, H_kv, D, T]``): each
+    (batch, head) slab is a ``[D, T]`` matrix whose minor dim is the long
+    time axis, so the Pallas decode kernel can DMA lane-aligned ``[D, block]``
+    slabs (head_dim=64 < the 128-lane tile, so time must be minor).
     ``offset`` is a scalar (shared across the batch, matching the reference's
     scalar ``seqlen_offset``). Returns updated ``(k_cache, v_cache)``.
     """
-    k = k.astype(k_cache.dtype)
-    v = v.astype(v_cache.dtype)
+    k = k.astype(k_cache.dtype).transpose(0, 2, 3, 1)  # [B, Hkv, D, S]
+    v = v.astype(v_cache.dtype).transpose(0, 2, 3, 1)
     zero = jnp.zeros((), dtype=jnp.int32)
-    idx = (zero, jnp.asarray(offset, jnp.int32), zero, zero)
+    idx = (zero, zero, zero, jnp.asarray(offset, jnp.int32))
     k_cache = jax.lax.dynamic_update_slice(k_cache, k, idx)
     v_cache = jax.lax.dynamic_update_slice(v_cache, v, idx)
     return k_cache, v_cache
 
 
 def _grouped_scores(q: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
-    """``q [B,S,Hq,D] x k [B,T,Hkv,D] -> scores [B,Hkv,G,S,T]`` (fp32)."""
+    """``q [B,S,Hq,D] x k [B,Hkv,D,T] -> scores [B,Hkv,G,S,T]`` (fp32)."""
     B, S, Hq, D = q.shape
-    Hkv = k.shape[2]
+    Hkv = k.shape[1]
     G = Hq // Hkv
     qg = q.reshape(B, S, Hkv, G, D)
     scores = jnp.einsum(
-        "bskgd,btkd->bkgst", qg, k, preferred_element_type=jnp.float32
+        "bskgd,bkdt->bkgst", qg, k, preferred_element_type=jnp.float32
     )
     return scores * (1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32)))
 
 
 def _apply_scores(probs: jnp.ndarray, v: jnp.ndarray, out_dtype) -> jnp.ndarray:
-    """``probs [B,Hkv,G,S,T] x v [B,T,Hkv,D] -> [B,S,Hq,D]``."""
+    """``probs [B,Hkv,G,S,T] x v [B,Hkv,D,T] -> [B,S,Hq,D]``."""
     B, Hkv, G, S, T = probs.shape
-    D = v.shape[-1]
+    D = v.shape[2]
     out = jnp.einsum(
-        "bkgst,btkd->bskgd",
+        "bkgst,bkdt->bskgd",
         probs.astype(v.dtype),
         v,
         preferred_element_type=jnp.float32,
@@ -85,13 +90,13 @@ def prefill_attention(
 
     Args:
       q: ``[B, S, Hq, D]`` (RoPE already applied), ``S == chunk_len``.
-      k_cache/v_cache: ``[B, T_max, Hkv, D]`` with the chunk written at
+      k_cache/v_cache: ``[B, Hkv, D, T_max]`` with the chunk written at
         ``[offset : offset + S]``.
       offset: scalar int32 absolute position of the chunk start.
     Returns ``[B, S, Hq, D]``.
     """
     B, S, Hq, D = q.shape
-    T = k_cache.shape[1]
+    T = k_cache.shape[3]
     scores = _grouped_scores(q, k_cache)  # [B,Hkv,G,S,T]
     key_pos = jnp.arange(T, dtype=jnp.int32)[None, :]
     qry_pos = jnp.asarray(offset, jnp.int32) + jnp.arange(S, dtype=jnp.int32)[:, None]
@@ -111,12 +116,12 @@ def decode_attention(
 
     Args:
       q: ``[B, 1, Hq, D]``.
-      k_cache/v_cache: ``[B, T_max, Hkv, D]``.
+      k_cache/v_cache: ``[B, Hkv, D, T_max]``.
       seq_end: scalar int32 — number of valid cache positions (inclusive of
         the token just written).
     Returns ``[B, 1, Hq, D]``.
     """
-    T = k_cache.shape[1]
+    T = k_cache.shape[3]
     scores = _grouped_scores(q, k_cache)  # [B,Hkv,G,1,T]
     valid = jnp.arange(T, dtype=jnp.int32)[None, None, None, None, :] < jnp.asarray(
         seq_end, jnp.int32

@@ -75,10 +75,10 @@ def zonos_param_specs(params: dict) -> dict:
 
 
 def kv_cache_specs() -> dict:
-    """KV cache ``[L, B, T, Hkv, Dh]``: batch on data, kv heads on model."""
+    """KV cache ``[L, B, Hkv, Dh, T]``: batch on data, kv heads on model."""
     return {
-        "k": P(None, DATA, None, MODEL, None),
-        "v": P(None, DATA, None, MODEL, None),
+        "k": P(None, DATA, MODEL, None, None),
+        "v": P(None, DATA, MODEL, None, None),
     }
 
 
