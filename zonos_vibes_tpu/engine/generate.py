@@ -82,7 +82,11 @@ def generate_jit(
     batch = two_b // 2
     lp = prefix_audio_len
     audio_seq_len = lp + max_new_tokens
-    seq_len = _find_multiple(cond_len + audio_seq_len + K, 8)
+    # Cache length: multiple of 8 (reference setup_cache semantics,
+    # model.py:198-202); for long generations round to the Pallas decode
+    # block (512) so the flash-decode kernel's DMA slabs stay aligned.
+    seq_len = cond_len + audio_seq_len + K
+    seq_len = _find_multiple(seq_len, 512 if seq_len >= 1024 else 8)
 
     rope = rope_table(cfg.backbone.head_dim)
     # Cache dtype follows the activation dtype (bf16 for real checkpoints,

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from ..config import BackboneConfig
 from ..ops.attention import (
-    decode_attention,
+    decode_attention_auto,
     prefill_attention,
     update_kv_cache,
 )
@@ -109,7 +109,7 @@ def _block(
 
     k_cache, v_cache = update_kv_cache(k_cache, v_cache, k, v, offset)
     if is_decode:
-        y = decode_attention(q, k_cache, v_cache, seq_end=offset + S)
+        y = decode_attention_auto(q, k_cache, v_cache, seq_end=offset + S)
     else:
         y = prefill_attention(q, k_cache, v_cache, offset, S)
     y = y.reshape(B, S, Hq * Dh) @ layer_params["out_proj"]["weight"]

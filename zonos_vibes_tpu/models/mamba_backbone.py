@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import BackboneConfig
-from ..ops.attention import decode_attention, prefill_attention, update_kv_cache
+from ..ops.attention import decode_attention_auto, prefill_attention, update_kv_cache
 from ..ops.mamba import (
     causal_conv1d,
     causal_conv1d_step,
@@ -259,7 +259,7 @@ class HybridBackbone:
         k = apply_rope_half(k, positions, self.rotary_dim)
         k_cache, v_cache = update_kv_cache(cache["k"], cache["v"], k, v, offset)
         if is_decode:
-            y = decode_attention(q, k_cache, v_cache, offset + S)
+            y = decode_attention_auto(q, k_cache, v_cache, offset + S)
         else:
             y = prefill_attention(q, k_cache, v_cache, offset, S)
         out = y.reshape(B, S, Hq * Dh) @ lp["out_proj"]["weight"]

@@ -18,10 +18,16 @@ Softmax always accumulates in fp32.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+# Pallas flash-decode dispatch: "auto" (TPU + aligned shapes), "1", "0".
+_PALLAS_DECODE = os.environ.get("ZVT_PALLAS_DECODE", "auto")
+_PALLAS_BLOCK = 512
 
 
 def update_kv_cache(
@@ -129,3 +135,36 @@ def decode_attention(
     scores = jnp.where(valid, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     return _apply_scores(probs, v_cache, q.dtype)
+
+
+def _pallas_decode_eligible(q, k_cache) -> bool:
+    if _PALLAS_DECODE == "0":
+        return False
+    B, S, Hq, D = q.shape
+    _, Hkv, _, T = k_cache.shape
+    ok = (
+        S == 1
+        and Hq % Hkv == 0
+        and D % 8 == 0
+        and T % _PALLAS_BLOCK == 0
+        and jax.default_backend() == "tpu"
+    )
+    return ok if _PALLAS_DECODE == "auto" else True
+
+
+def decode_attention_auto(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    seq_end: jnp.ndarray,
+) -> jnp.ndarray:
+    """Dispatch: Pallas flash-decode on TPU with aligned shapes (reads only
+    the valid prefix), XLA reference otherwise. Same signature/semantics as
+    :func:`decode_attention`."""
+    if _pallas_decode_eligible(q, k_cache):
+        from .pallas.decode_attention import decode_attention_pallas
+
+        return decode_attention_pallas(
+            q, k_cache, v_cache, seq_end, block=_PALLAS_BLOCK
+        )
+    return decode_attention(q, k_cache, v_cache, seq_end)
