@@ -1,0 +1,100 @@
+"""ParallelEngine: sharded generation over a device mesh.
+
+The distributed serving path (SURVEY.md §2.10, §5.8): parameters live on the
+mesh with megatron-style TP specs, utterance batches shard over ``data``
+(carrying the CFG cond/uncond pair with them), and GSPMD inserts the ICI
+collectives — psum after the row-parallel projections, gathers for the
+vocab-sharded heads. The decode loop itself is the same single jitted
+``generate_jit`` program; sharding is carried entirely by the input
+shardings (params + conditioning), so one code path serves 1 chip or N.
+
+Host-count-agnostic: on a multi-host pod slice, call
+``jax.distributed.initialize()`` first and pass the global mesh; tested on a
+spoofed 8-device CPU mesh (tests/test_parallel.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config import MeshConfig
+from ..engine.generate import GenerateResult, generate_jit
+from ..models.zonos import ZonosModel
+from ..ops.sampling import SamplingParams
+from .sharding import DATA, make_mesh, shard_pytree, zonos_param_specs
+
+
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> None:
+    """Multi-host runtime bring-up (jax.distributed). No-op if already
+    initialized or single-process."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        pass  # already initialized
+
+
+class ParallelEngine:
+    """Generation over a named mesh. ``mesh_config.data * model * ...`` must
+    divide the available device count."""
+
+    def __init__(self, model: ZonosModel, mesh_config: MeshConfig, params: dict):
+        self.model = model
+        self.mesh = make_mesh(mesh_config)
+        self.mesh_config = mesh_config
+        self.params = shard_pytree(params, zonos_param_specs(params), self.mesh)
+
+    @property
+    def data_parallelism(self) -> int:
+        return self.mesh_config.data
+
+    def shard_batch(self, prefix_conditioning: jnp.ndarray) -> jnp.ndarray:
+        """Place ``[2B, Lc, D]`` conditioning with batch rows over ``data``.
+        2B must be divisible by the data axis; the cond/uncond halves land on
+        complementary shards, so the CFG pair is evaluated in parallel."""
+        return jax.device_put(
+            prefix_conditioning,
+            NamedSharding(self.mesh, P(DATA, None, None)),
+        )
+
+    def generate(
+        self,
+        prefix_conditioning: jnp.ndarray,
+        audio_prefix_codes: jnp.ndarray | None = None,
+        *,
+        key: jax.Array,
+        max_new_tokens: int = 86 * 30,
+        cfg_scale: float = 2.0,
+        sampling_params: SamplingParams | dict | None = None,
+        disable_eos: bool = False,
+    ) -> GenerateResult:
+        if sampling_params is None:
+            sampling_params = SamplingParams(min_p=0.1)
+        elif isinstance(sampling_params, dict):
+            sampling_params = SamplingParams.from_dict(sampling_params)
+        K = self.model.config.num_codebooks
+        if audio_prefix_codes is None:
+            b = prefix_conditioning.shape[0] // 2
+            audio_prefix_codes = jnp.zeros((b, K, 0), jnp.int32)
+        cond = self.shard_batch(prefix_conditioning)
+        with jax.sharding.set_mesh(self.mesh):
+            codes, valid = generate_jit(
+                self.model,
+                self.params,
+                cond,
+                audio_prefix_codes,
+                key,
+                int(audio_prefix_codes.shape[-1]),
+                int(max_new_tokens),
+                float(cfg_scale),
+                sampling_params,
+                disable_eos,
+            )
+        return GenerateResult(codes=codes, valid_length=valid)

@@ -31,6 +31,7 @@ from .models.autoencoder import DACAutoencoder
 from .models.speaker import SpeakerEncoder
 from .models.zonos import ZonosModel
 from .ops.sampling import SamplingParams
+from .utils import tracing
 
 # 108 eSpeak language codes (reference conditioning.py:316-327).
 supported_language_codes = [
@@ -128,8 +129,9 @@ class ZonosPipeline:
         emotion = emotion if emotion is not None else list(DEFAULT_EMOTION)
         vqscore_8 = vqscore_8 if vqscore_8 is not None else [0.78] * 8
 
-        phonemes = phonemize([text], [language])
-        phoneme_ids, _ = tokenize_phonemes(phonemes)
+        with tracing.phase("phonemize"):
+            phonemes = phonemize([text], [language])
+            phoneme_ids, _ = tokenize_phonemes(phonemes)
 
         cond: dict[str, Any] = {
             "espeak": jnp.asarray(phoneme_ids, jnp.int32),
@@ -161,6 +163,37 @@ class ZonosPipeline:
                 out[k] = arr
         return out
 
+    def make_batch_cond_dict(
+        self,
+        texts: list[str],
+        languages: list[str] | str = "en-us",
+        speaker: jnp.ndarray | None = None,
+        **kwargs,
+    ) -> dict:
+        """Batched, heterogeneous-length conditioning (BASELINE config 4:
+        multilingual batch). Phoneme sequences are LEFT-padded to the batch
+        max (reference tokenize_phonemes semantics, conditioning.py:163-168);
+        per-utterance scalars broadcast or stack along batch."""
+        if isinstance(languages, str):
+            languages = [languages] * len(texts)
+        if len(texts) != len(languages):
+            raise ValueError("texts and languages length mismatch")
+        for lang in languages:
+            if lang.lower() not in _LANGUAGE_TO_ID:
+                raise ValueError(f"Unsupported language: {lang}")
+        phonemes = phonemize(texts, languages)
+        phoneme_ids, _ = tokenize_phonemes(phonemes)
+        base = self.make_cond_dict(
+            text=texts[0], language=languages[0], speaker=speaker, **kwargs
+        )
+        base["espeak"] = jnp.asarray(phoneme_ids, jnp.int32)
+        if "language_id" in base:
+            ids = jnp.asarray(
+                [[[_LANGUAGE_TO_ID[lang]]] for lang in languages], jnp.float32
+            )
+            base["language_id"] = ids  # [B, 1, 1]
+        return base
+
     def prepare_conditioning(self, cond_dict: dict, uncond_dict: dict | None = None):
         return self.model.prepare_conditioning(self.params, cond_dict, uncond_dict)
 
@@ -177,12 +210,19 @@ class ZonosPipeline:
         sampling_params: SamplingParams | dict | None = None,
         disable_eos: bool = False,
     ) -> GenerateResult:
-        prefix = self.prepare_conditioning(cond_dict)
-        return self.engine.generate(
-            self.params, prefix, audio_prefix_codes,
-            key=key, max_new_tokens=max_new_tokens, cfg_scale=cfg_scale,
-            sampling_params=sampling_params, disable_eos=disable_eos,
+        with tracing.phase("conditioning"):
+            prefix = self.prepare_conditioning(cond_dict)
+        with tracing.phase("generate"):
+            result = self.engine.generate(
+                self.params, prefix, audio_prefix_codes,
+                key=key, max_new_tokens=max_new_tokens, cfg_scale=cfg_scale,
+                sampling_params=sampling_params, disable_eos=disable_eos,
+            )
+            jax.block_until_ready(result.codes)
+        tracing.add_counter(
+            "audio_seconds", float(result.valid_length) / 86.1328
         )
+        return result
 
     # -- audio codec --------------------------------------------------------
 
@@ -191,7 +231,8 @@ class ZonosPipeline:
         if self.dac_params is None:
             raise RuntimeError("DAC params not loaded")
         codes = result.codes if isinstance(result, GenerateResult) else result
-        wav = self._decode_jit(self.dac_params, codes)
+        with tracing.phase("vocode"):
+            wav = self._decode_jit(self.dac_params, codes)
         wav = np.asarray(wav[:, 0, :], np.float32)
         if isinstance(result, GenerateResult):
             wav = wav[:, : int(result.valid_length) * self.dac.hop]
