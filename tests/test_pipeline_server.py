@@ -174,3 +174,31 @@ def test_wav_roundtrip(tmp_path):
     back, sr2 = read_wav(path)
     assert sr2 == sr and back.shape == (1, 800)
     np.testing.assert_allclose(back[0], wav, atol=1e-3)
+
+
+def test_webui_served(server):
+    with urllib.request.urlopen("http://127.0.0.1:5099/", timeout=10) as r:
+        body = r.read().decode()
+    assert "zonos-tpu" in body and "speaking_rate" in body and "en-us" in body
+
+
+def test_extended_ui_payload(server):
+    """Gradio-equivalent payload: full knob surface, no speaker path."""
+    status, ctype, body = _post(
+        "http://127.0.0.1:5099/tts",
+        {
+            "text": "Full controls.",
+            "language": "en-us",
+            "emotion": [0.3, 0.03, 0.03, 0.03, 0.03, 0.03, 0.25, 0.3],
+            "vqscore_8": [0.78] * 8,
+            "fmax": 22050, "pitch_std": 30, "speaking_rate": 14,
+            "dnsmos_ovrl": 4.0, "speaker_noised": False,
+            "cfg_scale": 2.0, "seed": 123,
+            "sampling": {"linear": 0.5, "conf": 0.4, "quad": 0.0,
+                         "top_p": 0, "top_k": 0, "min_p": 0},
+            "max_new_tokens": 6,
+            "unconditional_keys": ["vqscore_8", "dnsmos_ovrl"],
+        },
+    )
+    assert status == 200, body[:300]
+    assert ctype == "audio/wav"

@@ -24,7 +24,6 @@ from __future__ import annotations
 import io
 import json
 import queue
-import struct
 import threading
 import time
 import wave
@@ -155,33 +154,59 @@ class TTSServer:
                 {"error": "Missing required field: text"}
             ).encode()
         speaker_path = p.get("speaker_audio_path")
-        if not speaker_path:
+        # The reference /tts requires a speaker path (server.py:66-70); the
+        # extended UI payload may omit it to use the learned uncond speaker.
+        speaker = None
+        if speaker_path:
+            try:
+                speaker = self._speaker_embedding(speaker_path)
+            except FileNotFoundError:
+                return 404, "application/json", json.dumps(
+                    {"error": f"Speaker audio not found: {speaker_path}"}
+                ).encode()
+        elif not p.get("allow_unconditional_speaker", True) or "emotion" not in p:
+            # Bare reference-contract request without a speaker -> 400, same
+            # as the reference (server.py:66-70). UI payloads (which carry
+            # emotion) may omit the speaker.
             return 400, "application/json", json.dumps(
                 {"error": "Missing required field: speaker_audio_path"}
             ).encode()
         language = p.get("language", "en-us")
-        speaking_rate = float(p.get("speaking_rate", 15.0))
-        try:
-            speaker = self._speaker_embedding(speaker_path)
-        except FileNotFoundError:
-            return 404, "application/json", json.dumps(
-                {"error": f"Speaker audio not found: {speaker_path}"}
-            ).encode()
 
-        cond = self.pipeline.make_cond_dict(
-            text=text,
-            language=language,
-            speaker=speaker,
-            speaking_rate=speaking_rate,
-            unconditional_keys=DEFAULT_UNCONDITIONAL,
-        )
+        cond_kwargs: dict = {
+            "text": text,
+            "language": language,
+            "speaker": speaker,
+            "speaking_rate": float(p.get("speaking_rate", 15.0)),
+            "unconditional_keys": p.get(
+                "unconditional_keys", DEFAULT_UNCONDITIONAL
+            ),
+        }
+        for k in ("emotion", "vqscore_8"):
+            if p.get(k) is not None:
+                cond_kwargs[k] = [float(x) for x in p[k]]
+        for k in ("fmax", "pitch_std", "dnsmos_ovrl", "ctc_loss"):
+            if p.get(k) is not None:
+                cond_kwargs[k] = float(p[k])
+        if p.get("speaker_noised") is not None:
+            cond_kwargs["speaker_noised"] = bool(p["speaker_noised"])
+        cond = self.pipeline.make_cond_dict(**cond_kwargs)
+
+        sampling = DEFAULT_SAMPLING
+        if isinstance(p.get("sampling"), dict):
+            sampling = SamplingParams.from_dict(
+                {k: (int(v) if k == "top_k" else float(v))
+                 for k, v in p["sampling"].items()}
+            )
+
         self._req_counter += 1
-        key = jax.random.fold_in(jax.random.key(self.seed), self._req_counter)
+        seed = int(p.get("seed", self.seed))
+        key = jax.random.fold_in(jax.random.key(seed), self._req_counter)
         t0 = time.monotonic()
         result = self.pipeline.generate(
             cond, key=key, cfg_scale=float(p.get("cfg_scale", 2.0)),
             max_new_tokens=int(p.get("max_new_tokens", 86 * 30)),
-            sampling_params=DEFAULT_SAMPLING,
+            sampling_params=sampling,
         )
         wav = self.pipeline.decode_audio(result)[0]
         compute_s = time.monotonic() - t0
@@ -239,7 +264,11 @@ class TTSServer:
                 self.wfile.write(body)
 
             def do_GET(self):
-                if self.path == "/healthz":
+                if self.path in ("/", "/index.html"):
+                    from .webui import index_html
+
+                    self._send(200, "text/html; charset=utf-8", index_html())
+                elif self.path == "/healthz":
                     self._send(200, "application/json", b'{"status":"ok"}')
                 elif self.path == "/metrics":
                     self._send(200, "application/json",

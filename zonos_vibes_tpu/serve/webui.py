@@ -1,0 +1,130 @@
+"""Web UI — gradio-interface equivalent on the stdlib server (the reference
+ships a Gradio app, gradio_interface.py:1-419; gradio isn't available here,
+and a dependency-free page serves the same control surface).
+
+Controls mirror the reference UI (gradio_interface.py:219-301): text (max
+500 chars), language, speaker audio (server-side path), 8 emotion sliders,
+vq_single broadcast to 8, fmax, pitch_std, speaking_rate, dnsmos, speaker
+noised, CFG scale, seed + randomize, unified-sampler sliders (linear 0.5 /
+conf 0.40 / quad 0) and legacy top-p/top-k/min-p, unconditional-keys
+checkboxes (default ["emotion"]). POSTs JSON to ``/tts`` and plays the WAV.
+"""
+
+from __future__ import annotations
+
+INDEX_HTML = """<!doctype html>
+<html>
+<head>
+<meta charset="utf-8">
+<title>zonos-tpu</title>
+<style>
+  body { font-family: system-ui, sans-serif; margin: 2rem auto; max-width: 760px; }
+  fieldset { margin-bottom: 1rem; border: 1px solid #ccc; border-radius: 6px; }
+  label { display: inline-block; min-width: 11rem; margin: 0.15rem 0; }
+  input[type=range] { width: 14rem; vertical-align: middle; }
+  .val { display: inline-block; width: 3.5rem; text-align: right; }
+  textarea { width: 100%; }
+  #status { color: #666; margin-left: 1rem; }
+</style>
+</head>
+<body>
+<h2>zonos-tpu TTS</h2>
+<fieldset><legend>Text</legend>
+  <textarea id="text" rows="3" maxlength="500">Zonos uses eSpeak for text to phoneme conversion, and a DAC autoencoder.</textarea>
+  <label>Language <select id="language"></select></label>
+  <label>Speaker wav path <input id="speaker" size="38" placeholder="/path/to/speaker.wav"></input></label>
+</fieldset>
+<fieldset><legend>Conditioning</legend>
+  <div id="sliders"></div>
+  <label>Speaker noised <input type="checkbox" id="speaker_noised"></label>
+</fieldset>
+<fieldset><legend>Emotion <label><input type="checkbox" id="uncond_emotion" checked> unconditional</label></legend>
+  <div id="emotions"></div>
+</fieldset>
+<fieldset><legend>Sampling</legend>
+  <div id="sampling"></div>
+  <label>Seed <input id="seed" type="number" value="420" style="width:7rem">
+  <button type="button" onclick="document.getElementById('seed').value=Math.floor(Math.random()*1e6)">randomize</button></label>
+</fieldset>
+<button id="go" onclick="generate()">Generate</button><span id="status"></span>
+<div><audio id="player" controls style="margin-top:1rem;width:100%"></audio></div>
+<script>
+const LANGS = __LANGS__;
+const EMOTIONS = ["Happiness","Sadness","Disgust","Fear","Surprise","Anger","Other","Neutral"];
+const EMO_DEFAULT = [0.3077,0.0256,0.0256,0.0256,0.0256,0.0256,0.2564,0.3077];
+const SLIDERS = [
+  ["fmax", 0, 24000, 22050, 50],
+  ["pitch_std", 0, 400, 20, 1],
+  ["speaking_rate", 0, 40, 15, 0.5],
+  ["dnsmos_ovrl", 1, 5, 4, 0.1],
+  ["vq_single", 0.5, 0.8, 0.78, 0.01],
+  ["cfg_scale", 1.01, 5, 2, 0.05],
+];
+const SAMPLING = [
+  ["linear", 0, 1, 0.5, 0.01],
+  ["conf", -2, 2, 0.4, 0.01],
+  ["quad", -2, 2, 0, 0.01],
+  ["top_p", 0, 1, 0, 0.01],
+  ["top_k", 0, 1024, 0, 1],
+  ["min_p", 0, 0.5, 0, 0.01],
+  ["max_seconds", 1, 30, 10, 1],
+];
+function slider(parent, name, lo, hi, v, step) {
+  const d = document.createElement("div");
+  d.innerHTML = `<label>${name}</label><input type="range" id="${name}" min="${lo}" max="${hi}" value="${v}" step="${step}"
+    oninput="document.getElementById('${name}_v').textContent=this.value"><span class="val" id="${name}_v">${v}</span>`;
+  parent.appendChild(d);
+}
+const sel = document.getElementById("language");
+LANGS.forEach(l => { const o = document.createElement("option"); o.value = o.text = l; if (l==="en-us") o.selected = true; sel.add(o); });
+SLIDERS.forEach(s => slider(document.getElementById("sliders"), ...s));
+SAMPLING.forEach(s => slider(document.getElementById("sampling"), ...s));
+EMOTIONS.forEach((e, i) => slider(document.getElementById("emotions"), "emo_" + e, 0, 1, EMO_DEFAULT[i], 0.01));
+const val = id => parseFloat(document.getElementById(id).value);
+async function generate() {
+  const status = document.getElementById("status");
+  status.textContent = "generating...";
+  document.getElementById("go").disabled = true;
+  const uncond = [];
+  if (document.getElementById("uncond_emotion").checked) uncond.push("emotion");
+  uncond.push("vqscore_8", "dnsmos_ovrl");
+  const payload = {
+    text: document.getElementById("text").value,
+    language: document.getElementById("language").value,
+    speaker_audio_path: document.getElementById("speaker").value || null,
+    emotion: EMOTIONS.map(e => val("emo_" + e)),
+    vqscore_8: Array(8).fill(val("vq_single")),
+    fmax: val("fmax"), pitch_std: val("pitch_std"),
+    speaking_rate: val("speaking_rate"), dnsmos_ovrl: val("dnsmos_ovrl"),
+    speaker_noised: document.getElementById("speaker_noised").checked,
+    cfg_scale: val("cfg_scale"), seed: val("seed"),
+    sampling: { linear: val("linear"), conf: val("conf"), quad: val("quad"),
+                top_p: val("top_p"), top_k: val("top_k"), min_p: val("min_p") },
+    max_new_tokens: Math.round(86 * val("max_seconds")),
+    unconditional_keys: uncond,
+  };
+  try {
+    const r = await fetch("/tts", {method: "POST", headers: {"Content-Type": "application/json"},
+                                   body: JSON.stringify(payload)});
+    if (!r.ok) { status.textContent = "error: " + (await r.text()).slice(0, 200); return; }
+    const blob = await r.blob();
+    document.getElementById("player").src = URL.createObjectURL(blob);
+    document.getElementById("player").play();
+    status.textContent = "done";
+  } catch (e) { status.textContent = "error: " + e; }
+  finally { document.getElementById("go").disabled = false; }
+}
+</script>
+</body>
+</html>
+"""
+
+
+def index_html() -> bytes:
+    import json
+
+    from ..pipeline import supported_language_codes
+
+    return INDEX_HTML.replace(
+        "__LANGS__", json.dumps(supported_language_codes)
+    ).encode()
