@@ -189,17 +189,39 @@ class SpeakerEncoder:
         x = self.asp_forward(params, x)
         return x @ params["bottleneck"]["weight"] + params["bottleneck"]["bias"]
 
-    def __call__(self, params: dict, wav: jnp.ndarray, sample_rate: int):
-        """Full path (speaker_cloning.py:376-412): ``wav [C, T] or [T]`` ->
-        ``(emb_256, lda_128)``; the model consumes the 128-d LDA output."""
-        wav = jnp.asarray(wav, jnp.float32)
-        if wav.ndim == 2:
-            wav = wav.mean(axis=0)
-        wav = resample(wav[None, :], sample_rate, 16_000)
-        mel = log_fbank(wav)
+    def embed_with_lda(self, params: dict, mel: jnp.ndarray):
+        """``[B, 80, T] mel -> (emb_256, lda_128)`` (LDA in fp32,
+        speaker_cloning.py:405-412)."""
         emb = self.embed(params, mel).astype(jnp.float32)
         lda = emb @ params["lda"]["weight"] + params["lda"]["bias"]
         return emb, lda
+
+    def __call__(self, params: dict, wav: jnp.ndarray, sample_rate: int):
+        """Full path (speaker_cloning.py:376-412): ``wav [C, T] or [T]`` ->
+        ``(emb_256, lda_128)``; the model consumes the 128-d LDA output.
+
+        Preprocessing (mono mix -> 16 kHz resample -> log-mel) runs through
+        the native C++ DSP library when built (frontend/native_dsp.py),
+        else the JAX DSP path.
+        """
+        from ..frontend import native_dsp
+
+        wav = jnp.asarray(wav, jnp.float32)
+        if wav.ndim == 2:
+            wav = wav.mean(axis=0)
+        if native_dsp.available():
+            import numpy as np
+
+            mono = np.asarray(wav, np.float32)
+            mel = jnp.asarray(
+                native_dsp.log_mel_16k(
+                    native_dsp.resample(mono, sample_rate, 16_000)
+                )
+            )[None]
+        else:
+            wav16 = resample(wav[None, :], sample_rate, 16_000)
+            mel = log_fbank(wav16)
+        return self.embed_with_lda(params, mel)
 
 
 # ---------------------------------------------------------------------------
