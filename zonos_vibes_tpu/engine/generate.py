@@ -14,10 +14,15 @@ TPU-first engineering (the reference's weaknesses are the design targets):
   and applies the EOS cascade as pure vector math. Early exit (all rows done)
   is the loop condition, so EOS still saves wall-clock.
 * The CUDA-Graph / torch.compile machinery (model.py:118-179) is replaced by
-  ``jax.jit`` with donated decode state — XLA gives graph capture + fusion
-  natively (SURVEY.md §2.9 N4/N5).
+  ``jax.jit`` — XLA gives graph capture + fusion natively (SURVEY.md §2.9
+  N4/N5).
 * Static shapes throughout; compiled programs are cached per
   (batch, cond_len, prefix_len, max_new_tokens, cfg, sampling) signature.
+* **Streaming**: the same loop body also runs in bounded segments
+  (``decode_segment_jit``), so ``DecodeEngine.generate_stream`` yields
+  frames every N steps with host-side abort between segments — the TPU
+  equivalent of the reference's per-step ``callback`` hook
+  (model.py:229,306-307) without per-step host sync.
 
 The EOS cascade, vectorized (reference model.py:283-294): when codebook 0
 emits EOS, the row's remaining step count clamps to 9 and on each following
@@ -29,6 +34,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
+from typing import Iterator
 
 import jax
 import jax.numpy as jnp
@@ -53,53 +59,47 @@ class GenerateResult:
     valid_length: jnp.ndarray  # scalar int32: number of valid frames
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "model", "prefix_audio_len", "max_new_tokens", "cfg_scale", "sampling",
-        "disable_eos",
-    ),
-    donate_argnames=(),
-)
-def generate_jit(
+# ---------------------------------------------------------------------------
+# Traced building blocks (called inside the jitted entry points below)
+# ---------------------------------------------------------------------------
+
+def _prefill_state(
     model: ZonosModel,
     params: dict,
-    prefix_conditioning: jnp.ndarray,  # [2B, Lc, D] (cond ‖ uncond)
-    audio_prefix_codes: jnp.ndarray,  # [B, K, Lp] int32 (Lp may be 0)
+    prefix_conditioning: jnp.ndarray,
+    audio_prefix_codes: jnp.ndarray,
     key: jax.Array,
     prefix_audio_len: int,
     max_new_tokens: int,
     cfg_scale: float,
     sampling: SamplingParams,
-    disable_eos: bool = False,
-):
+) -> dict:
+    """Build caches, apply the delay pattern, run prefill, sample the first
+    frame (model.py:241-264). Returns the decode-loop state pytree."""
     cfg: ZonosConfig = model.config
     K = cfg.num_codebooks
-    eos = cfg.eos_token_id
     mask_tok = cfg.masked_token_id
 
-    two_b, cond_len, d_model = prefix_conditioning.shape
+    two_b, cond_len, _ = prefix_conditioning.shape
     batch = two_b // 2
     lp = prefix_audio_len
     audio_seq_len = lp + max_new_tokens
-    # Cache length: multiple of 8 (reference setup_cache semantics,
-    # model.py:198-202); for long generations round to the Pallas decode
-    # block (512) so the flash-decode kernel's DMA slabs stay aligned.
+    # Cache length: multiple of 8 (reference setup_cache, model.py:198-202);
+    # long generations round to the Pallas decode block (512) so the
+    # flash-decode kernel's DMA slabs stay aligned.
     seq_len = cond_len + audio_seq_len + K
     seq_len = _find_multiple(seq_len, 512 if seq_len >= 1024 else 8)
 
     rope = rope_table(cfg.backbone.head_dim)
     # Cache dtype follows the activation dtype (bf16 for real checkpoints,
-    # fp32 in CPU tests — mixed bf16/fp32 dots also don't lower on XLA:CPU).
+    # fp32 in CPU tests — mixed bf16/fp32 dots don't lower on XLA:CPU).
     cache = model.allocate_cache(two_b, seq_len, prefix_conditioning.dtype)
 
-    # -- code grid + delay pattern (model.py:246-253) -----------------------
     codes = jnp.full((batch, K, audio_seq_len), UNKNOWN_TOKEN, jnp.int32)
     if lp > 0:
         codes = codes.at[..., :lp].set(audio_prefix_codes.astype(jnp.int32))
     delayed = apply_delay_pattern(codes, mask_tok)  # [B, K, audio_seq_len+K]
 
-    # -- prefill (model.py:181-196,253-255) ---------------------------------
     prefix_frames = delayed[..., : lp + 1]
     emb = model.embed_codes(params, prefix_frames)  # [B, lp+1, D]
     emb = jnp.concatenate([emb, emb], axis=0)  # CFG doubling
@@ -119,17 +119,8 @@ def generate_jit(
     frame = jnp.where(frame == UNKNOWN_TOKEN, next_token, frame)
     delayed = delayed.at[..., offset0].set(frame)
 
-    prefix_length = cond_len + lp + 1  # cache positions consumed so far
-
-    # EOS only from codebook 0 (model.py:266-267). With disable_eos the run
-    # is fixed-length (bench mode / forced duration): no codebook may stop.
-    logit_bias = jnp.zeros_like(logits)
-    eos_rows = slice(0, None) if disable_eos else slice(1, None)
-    logit_bias = logit_bias.at[:, eos_rows, eos].set(NEG_INF)
-
     max_steps = delayed.shape[-1] - offset0
-
-    state = {
+    return {
         "delayed": delayed,
         "cache": cache,
         "offset": jnp.int32(offset0),
@@ -138,13 +129,44 @@ def generate_jit(
         "key": key,
     }
 
+
+def _decode_loop(
+    model: ZonosModel,
+    params: dict,
+    state: dict,
+    cond_len: int,
+    cfg_scale: float,
+    sampling: SamplingParams,
+    disable_eos: bool,
+    step_limit: int | None,
+) -> dict:
+    """Run the decode while_loop from ``state``; stops when every row is
+    done or (if given) after ``step_limit`` steps."""
+    cfg: ZonosConfig = model.config
+    K = cfg.num_codebooks
+    eos = cfg.eos_token_id
+    mask_tok = cfg.masked_token_id
+    batch = state["delayed"].shape[0]
+    two_b = 2 * batch
+    rope = rope_table(cfg.backbone.head_dim)
+
+    # EOS only from codebook 0 (model.py:266-267); disable_eos forbids all.
+    head_v = model.head_out_dim
+    logit_bias = jnp.zeros((batch, K, head_v), jnp.float32)
+    eos_rows = slice(0, None) if disable_eos else slice(1, None)
+    logit_bias = logit_bias.at[:, eos_rows, eos].set(NEG_INF)
+
+    start_offset = state["offset"]
+
     def cond_fn(s):
-        return jnp.max(s["remaining"]) > 0
+        go = jnp.max(s["remaining"]) > 0
+        if step_limit is not None:
+            go &= (s["offset"] - start_offset) < step_limit
+        return go
 
     def body_fn(s):
         offset = s["offset"] + 1
         delayed = s["delayed"]
-        # input frame = the one written last step (delayed column offset-1)
         frame_in = jax.lax.dynamic_slice_in_dim(delayed, offset - 1, 1, axis=2)
         emb = model.embed_codes(params, frame_in)  # [B, 1, D]
         emb = jnp.concatenate([emb, emb], axis=0)  # CFG repeat (model.py:142)
@@ -192,15 +214,87 @@ def generate_jit(
             "key": key,
         }
 
-    state = jax.lax.while_loop(cond_fn, body_fn, state)
+    return jax.lax.while_loop(cond_fn, body_fn, state)
 
+
+def _finalize(model: ZonosModel, state: dict):
+    """Delay-pattern revert + cleanup (model.py:309-311)."""
+    cfg = model.config
+    K = cfg.num_codebooks
     out = revert_delay_pattern(state["delayed"])  # [B, K, audio_seq_len]
     out = jnp.where(out >= cfg.codebook_size, 0, out)
-    valid_length = state["offset"] - K
-    # Zero the invalid tail so callers can ignore valid_length if they slice.
+    # Codebook k lags k steps; fewer than K decoded steps -> nothing final.
+    valid_length = jnp.maximum(state["offset"] - K, 0)
     t = jnp.arange(out.shape[-1], dtype=jnp.int32)[None, None, :]
     out = jnp.where(t < valid_length, out, 0)
     return out, valid_length
+
+
+# ---------------------------------------------------------------------------
+# Jitted entry points
+# ---------------------------------------------------------------------------
+
+_STATICS = (
+    "model", "prefix_audio_len", "max_new_tokens", "cfg_scale", "sampling",
+    "disable_eos",
+)
+
+
+@functools.partial(jax.jit, static_argnames=_STATICS)
+def generate_jit(
+    model: ZonosModel,
+    params: dict,
+    prefix_conditioning: jnp.ndarray,  # [2B, Lc, D] (cond ‖ uncond)
+    audio_prefix_codes: jnp.ndarray,  # [B, K, Lp] int32 (Lp may be 0)
+    key: jax.Array,
+    prefix_audio_len: int,
+    max_new_tokens: int,
+    cfg_scale: float,
+    sampling: SamplingParams,
+    disable_eos: bool = False,
+):
+    cond_len = prefix_conditioning.shape[1]
+    state = _prefill_state(
+        model, params, prefix_conditioning, audio_prefix_codes, key,
+        prefix_audio_len, max_new_tokens, cfg_scale, sampling,
+    )
+    state = _decode_loop(
+        model, params, state, cond_len, cfg_scale, sampling, disable_eos,
+        step_limit=None,
+    )
+    return _finalize(model, state)
+
+
+@functools.partial(jax.jit, static_argnames=_STATICS)
+def prefill_jit(
+    model, params, prefix_conditioning, audio_prefix_codes, key,
+    prefix_audio_len, max_new_tokens, cfg_scale, sampling,
+    disable_eos: bool = False,
+):
+    return _prefill_state(
+        model, params, prefix_conditioning, audio_prefix_codes, key,
+        prefix_audio_len, max_new_tokens, cfg_scale, sampling,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "cond_len", "cfg_scale", "sampling",
+                     "disable_eos", "n_steps"),
+    donate_argnames=("state",),
+)
+def decode_segment_jit(
+    model, params, state, cond_len: int, cfg_scale: float,
+    sampling: SamplingParams, n_steps: int, disable_eos: bool = False,
+):
+    """Run at most ``n_steps`` decode steps; returns (state, codes, valid)."""
+    state = _decode_loop(
+        model, params, state, cond_len, cfg_scale, sampling, disable_eos,
+        step_limit=n_steps,
+    )
+    codes, valid = _finalize(model, state)
+    done = jnp.max(state["remaining"]) <= 0
+    return state, codes, valid, done
 
 
 class DecodeEngine:
@@ -210,18 +304,8 @@ class DecodeEngine:
     def __init__(self, model: ZonosModel):
         self.model = model
 
-    def generate(
-        self,
-        params: dict,
-        prefix_conditioning: jnp.ndarray,
-        audio_prefix_codes: jnp.ndarray | None = None,
-        *,
-        key: jax.Array,
-        max_new_tokens: int = 86 * 30,
-        cfg_scale: float = 2.0,
-        sampling_params: SamplingParams | dict | None = None,
-        disable_eos: bool = False,
-    ) -> GenerateResult:
+    def _norm_args(self, prefix_conditioning, audio_prefix_codes,
+                   sampling_params, cfg_scale):
         if cfg_scale == 1.0:
             raise NotImplementedError(
                 "cfg_scale == 1 unsupported (reference asserts the same, "
@@ -235,6 +319,23 @@ class DecodeEngine:
         if audio_prefix_codes is None:
             b = prefix_conditioning.shape[0] // 2
             audio_prefix_codes = jnp.zeros((b, K, 0), jnp.int32)
+        return audio_prefix_codes, sampling_params
+
+    def generate(
+        self,
+        params: dict,
+        prefix_conditioning: jnp.ndarray,
+        audio_prefix_codes: jnp.ndarray | None = None,
+        *,
+        key: jax.Array,
+        max_new_tokens: int = 86 * 30,
+        cfg_scale: float = 2.0,
+        sampling_params: SamplingParams | dict | None = None,
+        disable_eos: bool = False,
+    ) -> GenerateResult:
+        audio_prefix_codes, sampling_params = self._norm_args(
+            prefix_conditioning, audio_prefix_codes, sampling_params, cfg_scale
+        )
         codes, valid = generate_jit(
             self.model,
             params,
@@ -248,3 +349,38 @@ class DecodeEngine:
             disable_eos,
         )
         return GenerateResult(codes=codes, valid_length=valid)
+
+    def generate_stream(
+        self,
+        params: dict,
+        prefix_conditioning: jnp.ndarray,
+        audio_prefix_codes: jnp.ndarray | None = None,
+        *,
+        key: jax.Array,
+        max_new_tokens: int = 86 * 30,
+        cfg_scale: float = 2.0,
+        sampling_params: SamplingParams | dict | None = None,
+        disable_eos: bool = False,
+        chunk_steps: int = 43,  # ~0.5 s of audio per yield
+    ) -> Iterator[GenerateResult]:
+        """Yield a cumulative :class:`GenerateResult` every ``chunk_steps``
+        decode steps. Identical outputs to :meth:`generate` with the same
+        key; stop consuming the iterator to abort (the reference callback's
+        ``return False``, model.py:306-307)."""
+        audio_prefix_codes, sampling_params = self._norm_args(
+            prefix_conditioning, audio_prefix_codes, sampling_params, cfg_scale
+        )
+        cond_len = int(prefix_conditioning.shape[1])
+        state = prefill_jit(
+            self.model, params, prefix_conditioning, audio_prefix_codes, key,
+            int(audio_prefix_codes.shape[-1]), int(max_new_tokens),
+            float(cfg_scale), sampling_params, disable_eos,
+        )
+        while True:
+            state, codes, valid, done = decode_segment_jit(
+                self.model, params, state, cond_len, float(cfg_scale),
+                sampling_params, int(chunk_steps), disable_eos,
+            )
+            yield GenerateResult(codes=codes, valid_length=valid)
+            if bool(done):
+                return

@@ -85,10 +85,22 @@ def conv1d(x, w, b, stride: int = 1, padding: int = 0, dilation: int = 1):
 
 
 def conv_transpose1d(x, w, b, stride: int, padding: int):
-    """torch ConvTranspose1d semantics via input dilation. ``w`` is stored
-    pre-flipped as a plain conv kernel ``[k, Cin, Cout]`` (converter flips
-    torch's ``[Cin, Cout, k]``)."""
+    """torch ConvTranspose1d semantics. ``w`` is stored pre-flipped as a
+    plain conv kernel ``[k, Cin, Cout]`` (converter flips torch's
+    ``[Cin, Cout, k]``).
+
+    Fast path (the DAC decoder case: even stride s, k = 2s, pad = s/2):
+    every output sample mixes exactly TWO input frames, so the transposed
+    conv is two dense matmuls — ``[T, 2Cin] @ [2Cin, (s/2)·Cout]`` for the
+    low phases on (x[q-1], x[q]) and the high phases on (x[q], x[q+1]) —
+    which XLA maps straight onto the MXU (input-dilated convs don't tile
+    nearly as well; this is the "DAC conv-transpose at speed-of-light"
+    reformulation, BASELINE.md). Exact same math; parity-tested against
+    torch in tests/test_dac.py.
+    """
     k = w.shape[0]
+    if stride % 2 == 0 and k == 2 * stride and padding == stride // 2:
+        return _conv_transpose1d_matmul(x, w, b, stride)
     y = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(1,),
@@ -96,6 +108,47 @@ def conv_transpose1d(x, w, b, stride: int, padding: int):
         lhs_dilation=(stride,),
         dimension_numbers=_DN,
     )
+    return y + b[None, None, :]
+
+
+def _conv_transpose1d_matmul(x, w, b, s: int):
+    """ConvTranspose1d(k=2s, stride=s, pad=s/2) as two phase matmuls.
+
+    With torch kernel ``Wt[j] = w[k-1-j]`` and output position
+    ``t_o = q*s + r``:
+      r <  s/2: out = x[q-1] @ Wt[r + 3s/2] + x[q] @ Wt[r + s/2]
+      r >= s/2: out = x[q]   @ Wt[r +  s/2] + x[q+1] @ Wt[r - s/2]
+    (out-of-range neighbours are zero). The Wt slices are gathered at trace
+    time into two ``[2Cin, (s/2)*Cout]`` matrices — constant-folded per
+    compile.
+    """
+    B, T, Cin = x.shape
+    k = 2 * s
+    Cout = w.shape[2]
+    half = s // 2
+    wt = w[::-1]  # un-flip: wt[j] == torch W[:, :, j], shape [k, Cin, Cout]
+
+    # Low phases r in [0, s/2): taps (x[q-1], x[q]) with Wt[r+3s/2], Wt[r+s/2]
+    w_lo = jnp.concatenate(
+        [wt[3 * half : 3 * half + half], wt[half : 2 * half]], axis=1
+    )  # [s/2, 2Cin, Cout]
+    # High phases r in [s/2, s): taps (x[q], x[q+1]) with Wt[r+s/2], Wt[r-s/2]
+    w_hi = jnp.concatenate(
+        [wt[2 * half : 3 * half], wt[:half]], axis=1
+    )  # [s/2, 2Cin, Cout]
+    w_lo = jnp.swapaxes(w_lo, 0, 1).reshape(2 * Cin, half * Cout)
+    w_hi = jnp.swapaxes(w_hi, 0, 1).reshape(2 * Cin, half * Cout)
+
+    zeros = jnp.zeros((B, 1, Cin), x.dtype)
+    x_prev = jnp.concatenate([zeros, x[:, :-1]], axis=1)
+    x_next = jnp.concatenate([x[:, 1:], zeros], axis=1)
+
+    y_lo = jnp.concatenate([x_prev, x], axis=-1) @ w_lo  # [B, T, half*Cout]
+    y_hi = jnp.concatenate([x, x_next], axis=-1) @ w_hi
+    y = jnp.concatenate(
+        [y_lo.reshape(B, T, half, Cout), y_hi.reshape(B, T, half, Cout)],
+        axis=2,
+    ).reshape(B, T * s, Cout)
     return y + b[None, None, :]
 
 
