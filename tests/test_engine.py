@@ -82,6 +82,50 @@ def test_generate_greedy_full_length():
     assert int(res.valid_length) == 8
 
 
+def test_per_row_valid_lengths_finalize():
+    """Unit check of the per-row trim math: cb0 EOS at delayed column o
+    means o-1 valid audio frames for that row (delay pattern rolls cb0
+    right by 1, codebook_pattern.py:5-12)."""
+    from zonos_vibes_tpu.engine.generate import _finalize
+    from zonos_vibes_tpu.ops.delay_pattern import apply_delay_pattern
+
+    model = ZonosModel(TINY)
+    B, K, T = 3, 9, 12
+    codes = jnp.asarray(
+        np.random.default_rng(1).integers(0, 1024, size=(B, K, T)), jnp.int32
+    )
+    delayed = apply_delay_pattern(codes, TINY.masked_token_id)
+    state = {
+        "delayed": delayed,
+        "offset": jnp.int32(delayed.shape[-1]),  # fully decoded
+        # row 0 never stopped; row 1 EOS at column 5; row 2 at column 1
+        "stop_offset": jnp.asarray([-1, 5, 1], jnp.int32),
+    }
+    out, valid, valid_rows = _finalize(model, state)
+    assert int(valid) == delayed.shape[-1] - K == T
+    np.testing.assert_array_equal(np.asarray(valid_rows), [T, 4, 0])
+    out = np.asarray(out)
+    # Row 1: frames [0,4) intact, frames >=4 zeroed.
+    np.testing.assert_array_equal(out[1, :, :4], np.asarray(codes)[1, :, :4])
+    assert (out[1, :, 4:] == 0).all()
+    assert (out[2] == 0).all()
+    np.testing.assert_array_equal(out[0], np.asarray(codes)[0])
+
+
+def test_valid_lengths_no_eos_matches_global():
+    model, params, cond = _setup()
+    engine = DecodeEngine(model)
+    res = engine.generate(
+        params, cond, key=jax.random.key(5), max_new_tokens=8,
+        sampling_params=SamplingParams(temperature=0.0),
+    )
+    assert res.valid_lengths is not None
+    np.testing.assert_array_equal(
+        np.asarray(res.valid_lengths),
+        np.full((1,), int(res.valid_length), np.int32),
+    )
+
+
 def test_audio_prefix_passthrough():
     """Frames provided as audio prefix must come back verbatim
     (model.py:248-249,296-297: pre-filled slots are never overwritten)."""

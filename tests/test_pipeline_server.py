@@ -165,6 +165,59 @@ def test_server_health_metrics(server):
     assert "rtf" in m
 
 
+def test_merge_cond_dicts(pipe):
+    c1 = pipe.make_cond_dict(text="Hi!", speaking_rate=14.0)
+    c2 = pipe.make_cond_dict(text="A much longer sentence here.", speaking_rate=12.0)
+    merged = ZonosPipeline.merge_cond_dicts([c1, c2])
+    longest = max(c1["espeak"].shape[1], c2["espeak"].shape[1])
+    assert merged["espeak"].shape == (2, longest)
+    # LEFT-padded: shorter row's ids sit at the right edge.
+    short = np.asarray(c1["espeak"][0])
+    np.testing.assert_array_equal(
+        np.asarray(merged["espeak"][0, -short.shape[0]:]), short
+    )
+    assert (np.asarray(merged["espeak"][0, : longest - short.shape[0]]) == 0).all()
+    assert merged["speaking_rate"].shape[0] == 2
+    # Mismatched key sets rejected.
+    c3 = dict(c1)
+    c3.pop("speaking_rate")
+    with pytest.raises(ValueError):
+        ZonosPipeline.merge_cond_dicts([c1, c3])
+
+
+def test_server_request_batching(pipe):
+    """Concurrent compatible requests share one decode call (the reference
+    serves strictly one request at a time, SURVEY.md §3.3)."""
+    srv = TTSServer(pipe, host="127.0.0.1", port=5098, max_batch=4,
+                    batch_window_s=2.0, request_timeout_s=300)
+    srv.start_background()
+    try:
+        results = {}
+
+        def post(name, text):
+            results[name] = _post(
+                "http://127.0.0.1:5098/tts",
+                {"text": text, "max_new_tokens": 6,
+                 "emotion": [0.3, 0.03, 0.03, 0.03, 0.03, 0.03, 0.25, 0.3]},
+            )
+
+        threads = [
+            threading.Thread(target=post, args=("a", "Short one.")),
+            threading.Thread(target=post, args=("b", "This is a somewhat longer request text.")),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(300)
+        for name in ("a", "b"):
+            status, ctype, body = results[name]
+            assert status == 200, body[:200]
+            assert ctype == "audio/wav" and len(body) > 0
+        assert srv.metrics.snapshot()["batched_requests"] >= 1
+    finally:
+        srv.shutdown()
+
+
 def test_wav_roundtrip(tmp_path):
     sr = 8000
     wav = (0.5 * np.sin(np.linspace(0, 100, 800))).astype(np.float32)

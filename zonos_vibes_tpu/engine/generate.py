@@ -56,7 +56,8 @@ def _find_multiple(n: int, k: int) -> int:
 @dataclass(frozen=True)
 class GenerateResult:
     codes: jnp.ndarray  # [B, K, audio_seq_len] int32, invalid tail zero-filled
-    valid_length: jnp.ndarray  # scalar int32: number of valid frames
+    valid_length: jnp.ndarray  # scalar int32: max valid frames over the batch
+    valid_lengths: jnp.ndarray | None = None  # [B] int32 per-row frame counts
 
 
 # ---------------------------------------------------------------------------
@@ -126,6 +127,9 @@ def _prefill_state(
         "offset": jnp.int32(offset0),
         "remaining": jnp.full((batch,), max_steps, jnp.int32),
         "stopping": jnp.zeros((batch,), bool),
+        # Per-row delayed column where cb0 emitted EOS (-1 = still running) —
+        # used to trim each utterance in batched serving.
+        "stop_offset": jnp.full((batch,), -1, jnp.int32),
         "key": key,
     }
 
@@ -189,6 +193,9 @@ def _decode_loop(
         remaining = jnp.where(
             eos_in_cb0, jnp.minimum(s["remaining"], 9), s["remaining"]
         )
+        stop_offset = jnp.where(
+            eos_in_cb0 & ~s["stopping"], offset, s["stop_offset"]
+        )
         stopping = s["stopping"] | eos_in_cb0
         eos_idx = jnp.clip(9 - remaining, 0, K - 1)  # [B]
         cb = jnp.arange(K, dtype=jnp.int32)[None, :]
@@ -211,6 +218,7 @@ def _decode_loop(
             "offset": offset,
             "remaining": remaining - 1,
             "stopping": stopping,
+            "stop_offset": stop_offset,
             "key": key,
         }
 
@@ -225,9 +233,17 @@ def _finalize(model: ZonosModel, state: dict):
     out = jnp.where(out >= cfg.codebook_size, 0, out)
     # Codebook k lags k steps; fewer than K decoded steps -> nothing final.
     valid_length = jnp.maximum(state["offset"] - K, 0)
+    # Per-row: cb0's EOS at delayed column o means its frame o-1 is EOS, so
+    # o-1 valid audio frames; rows still running use the global count.
+    valid_lengths = jnp.where(
+        state["stop_offset"] >= 0,
+        jnp.maximum(state["stop_offset"] - 1, 0),
+        valid_length,
+    )
+    valid_lengths = jnp.minimum(valid_lengths, valid_length)
     t = jnp.arange(out.shape[-1], dtype=jnp.int32)[None, None, :]
-    out = jnp.where(t < valid_length, out, 0)
-    return out, valid_length
+    out = jnp.where(t < valid_lengths[:, None, None], out, 0)
+    return out, valid_length, valid_lengths
 
 
 # ---------------------------------------------------------------------------
@@ -292,9 +308,9 @@ def decode_segment_jit(
         model, params, state, cond_len, cfg_scale, sampling, disable_eos,
         step_limit=n_steps,
     )
-    codes, valid = _finalize(model, state)
+    codes, valid, valid_rows = _finalize(model, state)
     done = jnp.max(state["remaining"]) <= 0
-    return state, codes, valid, done
+    return state, codes, valid, valid_rows, done
 
 
 class DecodeEngine:
@@ -336,7 +352,7 @@ class DecodeEngine:
         audio_prefix_codes, sampling_params = self._norm_args(
             prefix_conditioning, audio_prefix_codes, sampling_params, cfg_scale
         )
-        codes, valid = generate_jit(
+        codes, valid, valid_rows = generate_jit(
             self.model,
             params,
             prefix_conditioning,
@@ -348,7 +364,9 @@ class DecodeEngine:
             sampling_params,
             disable_eos,
         )
-        return GenerateResult(codes=codes, valid_length=valid)
+        return GenerateResult(
+            codes=codes, valid_length=valid, valid_lengths=valid_rows
+        )
 
     def generate_stream(
         self,
@@ -377,10 +395,12 @@ class DecodeEngine:
             float(cfg_scale), sampling_params, disable_eos,
         )
         while True:
-            state, codes, valid, done = decode_segment_jit(
+            state, codes, valid, valid_rows, done = decode_segment_jit(
                 self.model, params, state, cond_len, float(cfg_scale),
                 sampling_params, int(chunk_steps), disable_eos,
             )
-            yield GenerateResult(codes=codes, valid_length=valid)
+            yield GenerateResult(
+                codes=codes, valid_length=valid, valid_lengths=valid_rows
+            )
             if bool(done):
                 return

@@ -85,7 +85,7 @@ class ParallelEngine:
             audio_prefix_codes = jnp.zeros((b, K, 0), jnp.int32)
         cond = self.shard_batch(prefix_conditioning)
         with jax.sharding.set_mesh(self.mesh):
-            codes, valid = generate_jit(
+            codes, valid, valid_rows = generate_jit(
                 self.model,
                 self.params,
                 cond,
@@ -97,4 +97,6 @@ class ParallelEngine:
                 sampling_params,
                 disable_eos,
             )
-        return GenerateResult(codes=codes, valid_length=valid)
+        return GenerateResult(
+            codes=codes, valid_length=valid, valid_lengths=valid_rows
+        )

@@ -194,6 +194,29 @@ class ZonosPipeline:
             base["language_id"] = ids  # [B, 1, 1]
         return base
 
+    @staticmethod
+    def merge_cond_dicts(conds: list[dict], pad_len: int | None = None) -> dict:
+        """Merge per-request cond dicts (each batch 1) into one batched dict
+        for server-side batching. All dicts must share the same key set
+        (group requests by unconditional-key pattern first). Phoneme ids are
+        LEFT-padded (reference conditioning.py:167 semantics) to the longest
+        row, optionally rounded up to ``pad_len`` (compile-cache bucketing).
+        """
+        keys = set(conds[0])
+        for c in conds[1:]:
+            if set(c) != keys:
+                raise ValueError("cond dicts have mismatched keys")
+        out = {}
+        ph = [np.asarray(c["espeak"]) for c in conds]
+        longest = max(p.shape[1] for p in ph)
+        if pad_len is not None:
+            longest = max(longest, pad_len)
+        rows = [np.pad(p[0], (longest - p.shape[1], 0)) for p in ph]
+        out["espeak"] = jnp.asarray(np.stack(rows), jnp.int32)
+        for k in keys - {"espeak"}:
+            out[k] = jnp.concatenate([jnp.asarray(c[k]) for c in conds], axis=0)
+        return out
+
     def prepare_conditioning(self, cond_dict: dict, uncond_dict: dict | None = None):
         return self.model.prepare_conditioning(self.params, cond_dict, uncond_dict)
 

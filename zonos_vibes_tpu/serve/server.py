@@ -89,6 +89,7 @@ class Metrics:
         self.lock = threading.Lock()
         self.requests_total = 0
         self.errors_total = 0
+        self.batched_requests = 0
         self.audio_seconds_total = 0.0
         self.compute_seconds_total = 0.0
         self.queue_depth = 0
@@ -105,6 +106,7 @@ class Metrics:
                 "audio_seconds_total": round(self.audio_seconds_total, 3),
                 "compute_seconds_total": round(self.compute_seconds_total, 3),
                 "rtf": round(rtf, 3),
+                "batched_requests": self.batched_requests,
                 "queue_depth": self.queue_depth,
             }
 
@@ -116,12 +118,14 @@ class TTSServer:
         host: str = "0.0.0.0",
         port: int = 5000,
         max_batch: int = 4,
+        batch_window_s: float = 0.05,
         request_timeout_s: float = 120.0,
         seed: int = DEFAULT_SEED,
     ):
         self.pipeline = pipeline
         self.host, self.port = host, port
         self.max_batch = max_batch
+        self.batch_window_s = batch_window_s
         self.request_timeout_s = request_timeout_s
         self.seed = seed
         self.queue: "queue.Queue[_Request]" = queue.Queue()
@@ -146,8 +150,8 @@ class TTSServer:
 
     # -- request processing (single-owner worker) ---------------------------
 
-    def _process(self, req: _Request) -> tuple[int, str, bytes]:
-        p = req.payload
+    def _parse(self, p: dict):
+        """Payload -> parsed request dict, or an error response tuple."""
         text = p.get("text")
         if not text:
             return 400, "application/json", json.dumps(
@@ -171,16 +175,14 @@ class TTSServer:
             return 400, "application/json", json.dumps(
                 {"error": "Missing required field: speaker_audio_path"}
             ).encode()
-        language = p.get("language", "en-us")
 
+        uncond = tuple(sorted(p.get("unconditional_keys", DEFAULT_UNCONDITIONAL)))
         cond_kwargs: dict = {
             "text": text,
-            "language": language,
+            "language": p.get("language", "en-us"),
             "speaker": speaker,
             "speaking_rate": float(p.get("speaking_rate", 15.0)),
-            "unconditional_keys": p.get(
-                "unconditional_keys", DEFAULT_UNCONDITIONAL
-            ),
+            "unconditional_keys": uncond,
         }
         for k in ("emotion", "vqscore_8"):
             if p.get(k) is not None:
@@ -190,7 +192,6 @@ class TTSServer:
                 cond_kwargs[k] = float(p[k])
         if p.get("speaker_noised") is not None:
             cond_kwargs["speaker_noised"] = bool(p["speaker_noised"])
-        cond = self.pipeline.make_cond_dict(**cond_kwargs)
 
         sampling = DEFAULT_SAMPLING
         if isinstance(p.get("sampling"), dict):
@@ -198,45 +199,130 @@ class TTSServer:
                 {k: (int(v) if k == "top_k" else float(v))
                  for k, v in p["sampling"].items()}
             )
+        mnt = int(p.get("max_new_tokens", 86 * 30))
+        return {
+            "cond_kwargs": cond_kwargs,
+            "sampling": sampling,
+            "cfg_scale": float(p.get("cfg_scale", 2.0)),
+            "max_new_tokens": mnt,
+            "seed": int(p.get("seed", self.seed)),
+            # Batching compatibility key: requests in one decode call must
+            # share uncond pattern / speaker presence / sampling / cfg.
+            "group": (uncond, speaker is not None, sampling,
+                      float(p.get("cfg_scale", 2.0))),
+        }
 
+    @staticmethod
+    def _bucket(n: int, buckets=(215, 430, 860, 1290, 2580)) -> int:
+        for b in buckets:
+            if n <= b:
+                return b
+        return n
+
+    def _process_group(self, reqs: list[_Request], parsed: list[dict]) -> None:
+        """One decode call for a compatible group (the reference serves one
+        request at a time, SURVEY.md §3.3 — batching is the DP win)."""
+        conds = [
+            self.pipeline.make_cond_dict(**r["cond_kwargs"]) for r in parsed
+        ]
+        cond = (
+            conds[0] if len(conds) == 1
+            else self.pipeline.merge_cond_dicts(conds, pad_len=None)
+        )
+        mnt = self._bucket(max(r["max_new_tokens"] for r in parsed))
         self._req_counter += 1
-        seed = int(p.get("seed", self.seed))
-        key = jax.random.fold_in(jax.random.key(seed), self._req_counter)
+        key = jax.random.fold_in(
+            jax.random.key(parsed[0]["seed"]), self._req_counter
+        )
         t0 = time.monotonic()
         result = self.pipeline.generate(
-            cond, key=key, cfg_scale=float(p.get("cfg_scale", 2.0)),
-            max_new_tokens=int(p.get("max_new_tokens", 86 * 30)),
-            sampling_params=sampling,
+            cond, key=key, cfg_scale=parsed[0]["cfg_scale"],
+            max_new_tokens=mnt, sampling_params=parsed[0]["sampling"],
         )
-        wav = self.pipeline.decode_audio(result)[0]
+        wavs = self.pipeline.decode_audio(result)  # [B, samples]
         compute_s = time.monotonic() - t0
-        audio_s = wav.shape[-1] / self.pipeline.dac.sampling_rate
+        valid_rows = (
+            [int(v) for v in result.valid_lengths]
+            if result.valid_lengths is not None
+            else [int(result.valid_length)] * len(reqs)
+        )
+        sr = self.pipeline.dac.sampling_rate
+        hop = self.pipeline.dac.hop
+        audio_total = 0.0
+        for i, (req, r) in enumerate(zip(reqs, parsed)):
+            n = min(valid_rows[i], r["max_new_tokens"]) * hop
+            wav = wavs[i, :n]
+            audio_total += wav.shape[-1] / sr
+            req.response = (200, "audio/wav", wav_bytes(wav, sr))
+            req.done.set()
         with self.metrics.lock:
-            self.metrics.audio_seconds_total += audio_s
+            self.metrics.audio_seconds_total += audio_total
             self.metrics.compute_seconds_total += compute_s
-        return 200, "audio/wav", wav_bytes(wav, self.pipeline.dac.sampling_rate)
+            self.metrics.batched_requests += len(reqs) - 1 if len(reqs) > 1 else 0
+
+    def _drain_batch(self) -> list[_Request]:
+        """Block for the first request, then gather more for a short window
+        (up to max_batch) so concurrent callers share one decode."""
+        try:
+            first = self.queue.get(timeout=0.2)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.monotonic() + self.batch_window_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self.queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
 
     def _worker_loop(self):
         while not self._stop.is_set():
-            try:
-                req = self.queue.get(timeout=0.2)
-            except queue.Empty:
+            batch = self._drain_batch()
+            if not batch:
                 continue
             with self.metrics.lock:
                 self.metrics.queue_depth = self.queue.qsize()
-            if time.monotonic() - req.enqueued_at > self.request_timeout_s:
-                req.response = (503, "application/json",
-                                json.dumps({"error": "Request timed out in queue"}).encode())
-                req.done.set()
-                continue
-            try:
-                req.response = self._process(req)
-            except Exception as e:  # noqa: BLE001 — boundary: report as 500
-                with self.metrics.lock:
-                    self.metrics.errors_total += 1
-                req.response = (500, "application/json",
-                                json.dumps({"error": f"TTS generation failed: {e}"}).encode())
-            req.done.set()
+
+            live: list[_Request] = []
+            parsed: list[dict] = []
+            for req in batch:
+                if time.monotonic() - req.enqueued_at > self.request_timeout_s:
+                    req.response = (503, "application/json",
+                                    json.dumps({"error": "Request timed out in queue"}).encode())
+                    req.done.set()
+                    continue
+                try:
+                    out = self._parse(req.payload)
+                except Exception as e:  # noqa: BLE001 — boundary
+                    out = (500, "application/json",
+                           json.dumps({"error": f"Bad request: {e}"}).encode())
+                if isinstance(out, tuple):
+                    req.response = out
+                    req.done.set()
+                else:
+                    live.append(req)
+                    parsed.append(out)
+
+            # Group compatible requests into shared decode calls.
+            groups: dict[tuple, list[int]] = {}
+            for i, r in enumerate(parsed):
+                groups.setdefault(r["group"], []).append(i)
+            for idxs in groups.values():
+                reqs_g = [live[i] for i in idxs]
+                parsed_g = [parsed[i] for i in idxs]
+                try:
+                    self._process_group(reqs_g, parsed_g)
+                except Exception as e:  # noqa: BLE001 — boundary: 500s
+                    with self.metrics.lock:
+                        self.metrics.errors_total += len(reqs_g)
+                    for req in reqs_g:
+                        req.response = (500, "application/json",
+                                        json.dumps({"error": f"TTS generation failed: {e}"}).encode())
+                        req.done.set()
 
     # -- HTTP plumbing ------------------------------------------------------
 
