@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from ..config import BackboneConfig
 from ..ops.attention import (
     decode_attention_auto,
-    prefill_attention,
+    prefill_attention_auto,
     update_kv_cache,
 )
 from ..ops.mlp import swiglu
@@ -111,7 +111,7 @@ def _block(
     if is_decode:
         y = decode_attention_auto(q, k_cache, v_cache, seq_end=offset + S)
     else:
-        y = prefill_attention(q, k_cache, v_cache, offset, S)
+        y = prefill_attention_auto(q, k_cache, v_cache, offset, S)
     y = y.reshape(B, S, Hq * Dh) @ layer_params["out_proj"]["weight"]
     x = x + y
 

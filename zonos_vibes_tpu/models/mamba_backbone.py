@@ -37,7 +37,11 @@ import jax
 import jax.numpy as jnp
 
 from ..config import BackboneConfig
-from ..ops.attention import decode_attention_auto, prefill_attention, update_kv_cache
+from ..ops.attention import (
+    decode_attention_auto,
+    prefill_attention_auto,
+    update_kv_cache,
+)
 from ..ops.mamba import (
     causal_conv1d,
     causal_conv1d_step,
@@ -261,7 +265,7 @@ class HybridBackbone:
         if is_decode:
             y = decode_attention_auto(q, k_cache, v_cache, offset + S)
         else:
-            y = prefill_attention(q, k_cache, v_cache, offset, S)
+            y = prefill_attention_auto(q, k_cache, v_cache, offset, S)
         out = y.reshape(B, S, Hq * Dh) @ lp["out_proj"]["weight"]
         return out, {"k": k_cache, "v": v_cache}
 

@@ -28,6 +28,10 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 # Pallas flash-decode dispatch: "auto" (TPU + aligned shapes), "1", "0".
 _PALLAS_DECODE = os.environ.get("ZVT_PALLAS_DECODE", "auto")
 _PALLAS_BLOCK = 512
+# Pallas flash-prefill dispatch; only pays off for long chunks (audio-prefix
+# continuation) — short text prefills stay on the XLA dense path.
+_PALLAS_PREFILL = os.environ.get("ZVT_PALLAS_PREFILL", "auto")
+_PALLAS_PREFILL_MIN_S = 512
 
 
 def update_kv_cache(
@@ -135,6 +139,38 @@ def decode_attention(
     scores = jnp.where(valid, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     return _apply_scores(probs, v_cache, q.dtype)
+
+
+def _pallas_prefill_eligible(q, k_cache) -> bool:
+    if _PALLAS_PREFILL == "0":
+        return False
+    B, S, Hq, D = q.shape
+    _, Hkv, _, T = k_cache.shape
+    ok = (
+        S >= _PALLAS_PREFILL_MIN_S
+        and Hq % Hkv == 0
+        and D % 8 == 0
+        and T % 128 == 0
+        and jax.default_backend() == "tpu"
+    )
+    return ok if _PALLAS_PREFILL == "auto" else True
+
+
+def prefill_attention_auto(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    offset: jnp.ndarray,
+    chunk_len: int,
+) -> jnp.ndarray:
+    """Dispatch: Pallas flash-prefill on TPU for long chunks (block-pruned
+    causal; no [S, T] score materialization), XLA dense otherwise. Same
+    signature/semantics as :func:`prefill_attention`."""
+    if _pallas_prefill_eligible(q, k_cache):
+        from .pallas.prefill_attention import prefill_attention_pallas
+
+        return prefill_attention_pallas(q, k_cache, v_cache, offset)
+    return prefill_attention(q, k_cache, v_cache, offset, chunk_len)
 
 
 def _pallas_decode_eligible(q, k_cache) -> bool:
