@@ -218,6 +218,62 @@ def test_server_request_batching(pipe):
         srv.shutdown()
 
 
+def test_server_replay_and_healthz(pipe):
+    """A failed decode group is re-enqueued once (replay, SURVEY.md §5.3);
+    an unhealthy heartbeat monitor flips /healthz to 503."""
+    from zonos_vibes_tpu.parallel.multihost import HeartbeatMonitor
+
+    mon = HeartbeatMonitor(lambda: True, interval_s=999)
+    srv = TTSServer(pipe, host="127.0.0.1", port=5097, request_timeout_s=300,
+                    monitor=mon, max_retries=1)
+
+    real_generate = srv.pipeline.generate
+    calls = {"n": 0}
+
+    def flaky_generate(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected device failure")
+        return real_generate(*a, **kw)
+
+    srv.pipeline = _FlakyPipeline(pipe, flaky_generate)
+    srv.start_background()
+    try:
+        status, ctype, body = _post(
+            "http://127.0.0.1:5097/tts",
+            {"text": "Replay me.", "max_new_tokens": 6,
+             "emotion": [0.3, 0.03, 0.03, 0.03, 0.03, 0.03, 0.25, 0.3]},
+        )
+        assert status == 200, body[:200]
+        assert calls["n"] == 2
+        assert srv.metrics.snapshot()["replayed_requests"] == 1
+
+        with urllib.request.urlopen("http://127.0.0.1:5097/healthz", timeout=10) as r:
+            assert r.status == 200
+        mon.healthy = False
+        try:
+            urllib.request.urlopen("http://127.0.0.1:5097/healthz", timeout=10)
+            raise AssertionError("expected 503")
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+    finally:
+        srv.shutdown()
+
+
+class _FlakyPipeline:
+    """Pipeline proxy whose generate is injectable (failure simulation)."""
+
+    def __init__(self, inner, generate):
+        self._inner = inner
+        self._generate = generate
+
+    def generate(self, *a, **kw):
+        return self._generate(*a, **kw)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
 def test_wav_roundtrip(tmp_path):
     sr = 8000
     wav = (0.5 * np.sin(np.linspace(0, 100, 800))).astype(np.float32)

@@ -82,6 +82,7 @@ class _Request:
     done: threading.Event = field(default_factory=threading.Event)
     response: tuple[int, str, bytes] | None = None  # (status, ctype, body)
     enqueued_at: float = field(default_factory=time.monotonic)
+    retries: int = 0
 
 
 class Metrics:
@@ -90,6 +91,7 @@ class Metrics:
         self.requests_total = 0
         self.errors_total = 0
         self.batched_requests = 0
+        self.replayed_requests = 0
         self.audio_seconds_total = 0.0
         self.compute_seconds_total = 0.0
         self.queue_depth = 0
@@ -107,6 +109,7 @@ class Metrics:
                 "compute_seconds_total": round(self.compute_seconds_total, 3),
                 "rtf": round(rtf, 3),
                 "batched_requests": self.batched_requests,
+                "replayed_requests": self.replayed_requests,
                 "queue_depth": self.queue_depth,
             }
 
@@ -121,6 +124,8 @@ class TTSServer:
         batch_window_s: float = 0.05,
         request_timeout_s: float = 120.0,
         seed: int = DEFAULT_SEED,
+        monitor=None,  # parallel.multihost.HeartbeatMonitor | None
+        max_retries: int = 1,
     ):
         self.pipeline = pipeline
         self.host, self.port = host, port
@@ -128,6 +133,11 @@ class TTSServer:
         self.batch_window_s = batch_window_s
         self.request_timeout_s = request_timeout_s
         self.seed = seed
+        # Failure handling (SURVEY.md §5.3): heartbeat monitor drives
+        # /healthz; failed decode groups are re-enqueued (reload + replay
+        # semantics — inference has no training state to restore).
+        self.monitor = monitor
+        self.max_retries = max_retries
         self.queue: "queue.Queue[_Request]" = queue.Queue()
         self.metrics = Metrics()
         self._spk_cache: dict[str, Any] = {}
@@ -316,13 +326,21 @@ class TTSServer:
                 parsed_g = [parsed[i] for i in idxs]
                 try:
                     self._process_group(reqs_g, parsed_g)
-                except Exception as e:  # noqa: BLE001 — boundary: 500s
-                    with self.metrics.lock:
-                        self.metrics.errors_total += len(reqs_g)
+                except Exception as e:  # noqa: BLE001 — boundary: replay/500
                     for req in reqs_g:
-                        req.response = (500, "application/json",
-                                        json.dumps({"error": f"TTS generation failed: {e}"}).encode())
-                        req.done.set()
+                        if req.retries < self.max_retries:
+                            # Replay: re-enqueue for a fresh decode group
+                            # (reference loses the request, SURVEY.md §5.3).
+                            req.retries += 1
+                            with self.metrics.lock:
+                                self.metrics.replayed_requests += 1
+                            self.queue.put(req)
+                        else:
+                            with self.metrics.lock:
+                                self.metrics.errors_total += 1
+                            req.response = (500, "application/json",
+                                            json.dumps({"error": f"TTS generation failed: {e}"}).encode())
+                            req.done.set()
 
     # -- HTTP plumbing ------------------------------------------------------
 
@@ -355,7 +373,12 @@ class TTSServer:
 
                     self._send(200, "text/html; charset=utf-8", index_html())
                 elif self.path == "/healthz":
-                    self._send(200, "application/json", b'{"status":"ok"}')
+                    mon = server_self.monitor
+                    if mon is not None and not mon.healthy:
+                        self._send(503, "application/json",
+                                   b'{"status":"unhealthy","reason":"heartbeat failed"}')
+                    else:
+                        self._send(200, "application/json", b'{"status":"ok"}')
                 elif self.path == "/metrics":
                     self._send(200, "application/json",
                                json.dumps(server_self.metrics.snapshot()).encode())
