@@ -274,6 +274,42 @@ class _FlakyPipeline:
         return getattr(self._inner, name)
 
 
+def test_cond_bucketing_stabilizes_shapes(pipe):
+    """Different text lengths inside one bucket must yield identical
+    conditioning shapes (one compiled decode program per bucket, not per
+    text length)."""
+    c1 = pipe.make_cond_dict(text="Two sentences in the same bucket.")
+    c2 = pipe.make_cond_dict(text="A rather different and longer text.")
+    b = TTSServer._cond_bucket
+    assert b(int(c1["espeak"].shape[1])) == b(int(c2["espeak"].shape[1])) == 64
+    assert int(c1["espeak"].shape[1]) != int(c2["espeak"].shape[1])
+    m1 = ZonosPipeline.merge_cond_dicts([c1], pad_len=64)
+    m2 = ZonosPipeline.merge_cond_dicts([c2], pad_len=64)
+    p1 = pipe.prepare_conditioning(m1)
+    p2 = pipe.prepare_conditioning(m2)
+    assert p1.shape == p2.shape
+
+
+def test_server_warmup(pipe):
+    srv = TTSServer(pipe, host="127.0.0.1", port=5096, request_timeout_s=300)
+    n = srv.warmup([(1, 32, 6, True), (2, 32, 6, False)])
+    assert n == 2
+    assert pipe.speaker_shape() == (1, 1, 16)
+
+
+def test_persistent_compilation_cache(tmp_path):
+    from zonos_vibes_tpu.utils import enable_persistent_compilation_cache
+
+    cache = tmp_path / "xla-cache"
+    enable_persistent_compilation_cache(str(cache), min_compile_time_secs=0.0)
+    try:
+        f = jax.jit(lambda x: (x @ x.T).sum())
+        f(jnp.ones((64, 64))).block_until_ready()
+        assert any(cache.iterdir())
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+
+
 def test_wav_roundtrip(tmp_path):
     sr = 8000
     wav = (0.5 * np.sin(np.linspace(0, 100, 800))).astype(np.float32)

@@ -194,6 +194,15 @@ class ZonosPipeline:
             base["language_id"] = ids  # [B, 1, 1]
         return base
 
+    def speaker_shape(self) -> tuple:
+        """Shape of a speaker embedding cond entry ``[1, 1, cond_dim]``
+        (128 for the shipped checkpoints, model.py:95) — used by server
+        warmup to build dummy conditioning with the right key set."""
+        for s in self.model.prefix_conditioner.specs:
+            if s.name == "speaker":
+                return (1, 1, s.cond_dim)
+        raise ValueError("model has no speaker conditioner")
+
     @staticmethod
     def merge_cond_dicts(conds: list[dict], pad_len: int | None = None) -> dict:
         """Merge per-request cond dicts (each batch 1) into one batched dict

@@ -229,16 +229,28 @@ class TTSServer:
                 return b
         return n
 
+    @staticmethod
+    def _cond_bucket(n: int, buckets=(32, 64, 128, 256, 512)) -> int:
+        """Phoneme-length bucket. The decode loop is compiled per
+        conditioning length — without bucketing, every distinct text length
+        costs a full recompile. LEFT-padding with PAD to the bucket matches
+        the reference's own batching semantics (conditioning.py:163-168:
+        items are left-padded to the batch max and pads are attended to)."""
+        for b in buckets:
+            if n <= b:
+                return b
+        return n
+
     def _process_group(self, reqs: list[_Request], parsed: list[dict]) -> None:
         """One decode call for a compatible group (the reference serves one
         request at a time, SURVEY.md §3.3 — batching is the DP win)."""
         conds = [
             self.pipeline.make_cond_dict(**r["cond_kwargs"]) for r in parsed
         ]
-        cond = (
-            conds[0] if len(conds) == 1
-            else self.pipeline.merge_cond_dicts(conds, pad_len=None)
+        pad_len = self._cond_bucket(
+            max(int(c["espeak"].shape[1]) for c in conds)
         )
+        cond = self.pipeline.merge_cond_dicts(conds, pad_len=pad_len)
         mnt = self._bucket(max(r["max_new_tokens"] for r in parsed))
         self._req_counter += 1
         key = jax.random.fold_in(
@@ -269,6 +281,38 @@ class TTSServer:
             self.metrics.audio_seconds_total += audio_total
             self.metrics.compute_seconds_total += compute_s
             self.metrics.batched_requests += len(reqs) - 1 if len(reqs) > 1 else 0
+
+    def warmup(self, combos: list[tuple] | None = None) -> int:
+        """Precompile decode programs for representative request shapes
+        before serving (the TPU-native stand-in for the reference's CUDA
+        Graph warmup, model.py:145-179: XLA compiles once per static
+        signature; here we pay that cost at startup, not on the first
+        request). Each combo is ``(batch, cond_bucket, mnt_bucket,
+        with_speaker)``; a combo runs one real generate on dummy
+        conditioning, so cost = compile + one decode. Pair with
+        :func:`enable_persistent_compilation_cache` so restarts reuse the
+        compiled programs from disk. Returns the number of combos run."""
+        if combos is None:
+            combos = [(1, self._cond_bucket(1), self._bucket(1), True)]
+        uncond = tuple(sorted(DEFAULT_UNCONDITIONAL))
+        for batch, cond_len, mnt, with_speaker in combos:
+            speaker = None
+            if with_speaker:
+                speaker = jnp.zeros(
+                    self.pipeline.speaker_shape(), jnp.bfloat16
+                )
+            conds = [
+                self.pipeline.make_cond_dict(
+                    text="warm", speaker=speaker, unconditional_keys=uncond
+                )
+                for _ in range(batch)
+            ]
+            cond = self.pipeline.merge_cond_dicts(conds, pad_len=cond_len)
+            self.pipeline.generate(
+                cond, key=jax.random.key(0), cfg_scale=2.0,
+                max_new_tokens=mnt, sampling_params=DEFAULT_SAMPLING,
+            )
+        return len(combos)
 
     def _drain_batch(self) -> list[_Request]:
         """Block for the first request, then gather more for a short window
