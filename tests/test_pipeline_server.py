@@ -310,6 +310,49 @@ def test_persistent_compilation_cache(tmp_path):
         jax.config.update("jax_compilation_cache_dir", None)
 
 
+def test_server_concurrent_load(pipe):
+    """Race-detection surrogate (SURVEY.md §5.2): hammer the server with
+    mixed valid/invalid concurrent requests; every request must get exactly
+    one response and metrics must stay consistent. The reference's global
+    model + caches are mutated from handlers without locks — this test is
+    why ours is single-owner."""
+    srv = TTSServer(pipe, host="127.0.0.1", port=5095, max_batch=4,
+                    batch_window_s=0.2, request_timeout_s=300)
+    srv.start_background()
+    try:
+        results = {}
+
+        def post(i):
+            if i % 3 == 2:
+                payload = {"text": ""}  # invalid -> 400
+            else:
+                payload = {
+                    "text": f"Concurrent request number {i}.",
+                    "max_new_tokens": 6,
+                    "emotion": [0.3, 0.03, 0.03, 0.03, 0.03, 0.03, 0.25, 0.3],
+                }
+            results[i] = _post("http://127.0.0.1:5095/tts", payload)
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(9)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(300)
+        assert len(results) == 9
+        for i, (status, ctype, body) in results.items():
+            if i % 3 == 2:
+                assert status == 400, (i, body[:100])
+            else:
+                assert status == 200, (i, body[:200])
+                assert ctype == "audio/wav" and len(body) > 44
+        m = srv.metrics.snapshot()
+        assert m["requests_total"] == 9
+        assert m["errors_total"] == 0  # 400s are client errors, not failures
+        assert m["batched_requests"] >= 1  # at least one shared decode
+    finally:
+        srv.shutdown()
+
+
 def test_wav_roundtrip(tmp_path):
     sr = 8000
     wav = (0.5 * np.sin(np.linspace(0, 100, 800))).astype(np.float32)

@@ -1,0 +1,75 @@
+"""Streaming synthesis tests: incremental vocoding must match one-shot
+output sample-for-sample (margins cover the DAC decoder's receptive field),
+and the server's chunked /tts stream must deliver playable WAV."""
+
+import json
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from tests.test_pipeline_server import TINY_CFG, TINY_DAC, pipe  # noqa: F401
+from zonos_vibes_tpu.ops.sampling import SamplingParams
+from zonos_vibes_tpu.serve.server import TTSServer, wav_stream_header
+
+
+def test_stream_matches_one_shot(pipe):  # noqa: F811
+    cond = pipe.make_cond_dict(text="Stream me, please.")
+    kwargs = dict(
+        max_new_tokens=72,
+        sampling_params=SamplingParams(temperature=0.0),
+    )
+    one_shot = pipe.generate(cond, key=jax.random.key(9), **kwargs)
+    ref = pipe.decode_audio(one_shot)  # [1, samples]
+
+    # margin must exceed the decoder's half receptive field in code frames
+    # (~19 for the coarse tiny test DAC; ~9 for the 44 kHz topology).
+    chunks = list(
+        pipe.generate_stream(
+            cond, key=jax.random.key(9), chunk_frames=12, margin_frames=24,
+            **kwargs,
+        )
+    )
+    assert len(chunks) > 1  # actually incremental
+    got = np.concatenate(chunks, axis=-1)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_server_chunked_stream(pipe):  # noqa: F811
+    srv = TTSServer(pipe, host="127.0.0.1", port=5094, request_timeout_s=300)
+    srv.start_background()
+    try:
+        req = urllib.request.Request(
+            "http://127.0.0.1:5094/tts",
+            data=json.dumps({
+                "text": "Streaming over HTTP.", "stream": True,
+                "max_new_tokens": 24,
+                "emotion": [0.3, 0.03, 0.03, 0.03, 0.03, 0.03, 0.25, 0.3],
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            assert resp.status == 200
+            assert resp.headers.get("Content-Type") == "audio/wav"
+            body = resp.read()  # urllib reassembles chunked transfer
+        header = wav_stream_header(pipe.dac.sampling_rate)
+        assert body.startswith(b"RIFF")
+        assert body[:len(header)] == header
+        pcm = np.frombuffer(body[len(header):], np.int16)
+        assert pcm.shape[0] > 0
+        # Budget trim: at most max_new_tokens frames of audio.
+        assert pcm.shape[0] <= 24 * pipe.dac.hop
+
+        # Error path: parse failure surfaces as a JSON error, not a hang.
+        bad = urllib.request.Request(
+            "http://127.0.0.1:5094/tts",
+            data=json.dumps({"text": "", "stream": True}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(bad, timeout=60)
+        assert exc_info.value.code == 400
+    finally:
+        srv.shutdown()

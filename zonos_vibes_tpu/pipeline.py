@@ -256,6 +256,69 @@ class ZonosPipeline:
         )
         return result
 
+    def generate_stream(
+        self,
+        cond_dict: dict,
+        audio_prefix_codes: jnp.ndarray | None = None,
+        *,
+        key: jax.Array,
+        max_new_tokens: int = 86 * 30,
+        cfg_scale: float = 2.0,
+        sampling_params: SamplingParams | dict | None = None,
+        chunk_frames: int = 43,  # ~0.5 s of audio per yield
+        margin_frames: int = 32,
+    ):
+        """Streaming synthesis: yields ``[B, samples]`` float32 waveform
+        chunks as decoding progresses; the concatenation equals the
+        one-shot :meth:`generate` + :meth:`decode_audio` output for the
+        same key (codes are identical — engine test_streaming — and each
+        emitted span is vocoded with ``margin_frames`` of code context on
+        BOTH sides, then trimmed, so conv edge effects never reach emitted
+        samples).
+
+        The DAC decoder is non-causal (symmetric conv padding; half
+        receptive field ≈9 code frames for the 44 kHz topology, larger for
+        coarser test configs), so the last ``margin_frames`` decoded
+        frames are withheld until more context arrives; the final chunk
+        flushes them against the true sequence end. ``margin_frames`` must
+        exceed the decoder's half receptive field in code frames for
+        exactness.
+        """
+        if self.dac_params is None:
+            raise RuntimeError("DAC params not loaded")
+        prefix = self.prepare_conditioning(cond_dict)
+        hop = self.dac.hop
+        emitted = 0  # frames whose samples have been yielded
+
+        def vocode_span(codes_all, start, end, avail):
+            # Decode [start-m, min(avail, end+m)) and trim both contexts:
+            # every emitted sample sits >= margin from a synthetic edge
+            # (window edges coinciding with the true sequence edge are the
+            # same edges the one-shot decode has).
+            c0 = max(0, start - margin_frames)
+            c1 = min(avail, end + margin_frames)
+            wav = self._decode_jit(self.dac_params, codes_all[:, :, c0:c1])
+            wav = np.asarray(wav[:, 0, :], np.float32)
+            off = (start - c0) * hop
+            return wav[:, off: off + (end - start) * hop]
+
+        last = None
+        for res in self.engine.generate_stream(
+            self.params, prefix, audio_prefix_codes, key=key,
+            max_new_tokens=max_new_tokens, cfg_scale=cfg_scale,
+            sampling_params=sampling_params, chunk_steps=chunk_frames,
+        ):
+            last = res
+            valid = int(res.valid_length)
+            stable = max(0, valid - margin_frames)  # right margin withheld
+            if stable > emitted:
+                yield vocode_span(res.codes, emitted, stable, valid)
+                emitted = stable
+        if last is not None:
+            valid = int(last.valid_length)
+            if valid > emitted:
+                yield vocode_span(last.codes, emitted, valid, valid)
+
     # -- audio codec --------------------------------------------------------
 
     def decode_audio(self, result: GenerateResult | jnp.ndarray) -> np.ndarray:

@@ -76,6 +76,18 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
     return data.reshape(-1, ch).T, sr
 
 
+def wav_stream_header(sample_rate: int) -> bytes:
+    """WAV header for a stream of unknown length (RIFF/data sizes maxed —
+    the accepted convention for live PCM streams)."""
+    import struct
+
+    return (
+        b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", 0xFFFFFFFF)
+    )
+
+
 @dataclass
 class _Request:
     payload: dict
@@ -83,6 +95,9 @@ class _Request:
     response: tuple[int, str, bytes] | None = None  # (status, ctype, body)
     enqueued_at: float = field(default_factory=time.monotonic)
     retries: int = 0
+    # Streaming requests get a chunk queue instead of a one-shot response:
+    # items are PCM bytes, ("error", response_tuple), or None (end).
+    stream_q: "queue.Queue | None" = None
 
 
 class Metrics:
@@ -215,6 +230,7 @@ class TTSServer:
             "sampling": sampling,
             "cfg_scale": float(p.get("cfg_scale", 2.0)),
             "max_new_tokens": mnt,
+            "stream": bool(p.get("stream", False)),
             "seed": int(p.get("seed", self.seed)),
             # Batching compatibility key: requests in one decode call must
             # share uncond pattern / speaker presence / sampling / cfg.
@@ -314,6 +330,48 @@ class TTSServer:
             )
         return len(combos)
 
+    def _process_stream(self, req: _Request, r: dict) -> None:
+        """Streaming request: vocode incrementally and feed PCM chunks to
+        the HTTP thread via the request's chunk queue. Runs solo (never
+        grouped) — the stream's pacing is the caller's playback clock."""
+        assert req.stream_q is not None
+        try:
+            conds = [self.pipeline.make_cond_dict(**r["cond_kwargs"])]
+            pad_len = self._cond_bucket(int(conds[0]["espeak"].shape[1]))
+            cond = self.pipeline.merge_cond_dicts(conds, pad_len=pad_len)
+            mnt = self._bucket(r["max_new_tokens"])
+            self._req_counter += 1
+            key = jax.random.fold_in(
+                jax.random.key(r["seed"]), self._req_counter
+            )
+            hop = self.pipeline.dac.hop
+            budget = r["max_new_tokens"] * hop  # trim to the asked length
+            sent = 0
+            t0 = time.monotonic()
+            for chunk in self.pipeline.generate_stream(
+                cond, key=key, cfg_scale=r["cfg_scale"],
+                max_new_tokens=mnt, sampling_params=r["sampling"],
+            ):
+                pcm = chunk[0]
+                take = min(budget - sent, pcm.shape[-1])
+                if take <= 0:
+                    break
+                data = (np.clip(pcm[:take], -1.0, 1.0) * 32767.0).astype(np.int16)
+                req.stream_q.put(data.tobytes())
+                sent += take
+            with self.metrics.lock:
+                self.metrics.audio_seconds_total += (
+                    sent / self.pipeline.dac.sampling_rate
+                )
+                self.metrics.compute_seconds_total += time.monotonic() - t0
+        except Exception as e:  # noqa: BLE001 — boundary
+            with self.metrics.lock:
+                self.metrics.errors_total += 1
+            req.stream_q.put(("error", (500, "application/json",
+                              json.dumps({"error": f"TTS stream failed: {e}"}).encode())))
+        finally:
+            req.stream_q.put(None)
+
     def _drain_batch(self) -> list[_Request]:
         """Block for the first request, then gather more for a short window
         (up to max_batch) so concurrent callers share one decode."""
@@ -355,8 +413,14 @@ class TTSServer:
                     out = (500, "application/json",
                            json.dumps({"error": f"Bad request: {e}"}).encode())
                 if isinstance(out, tuple):
-                    req.response = out
-                    req.done.set()
+                    if req.stream_q is not None:
+                        req.stream_q.put(("error", out))
+                        req.stream_q.put(None)
+                    else:
+                        req.response = out
+                        req.done.set()
+                elif req.stream_q is not None:
+                    self._process_stream(req, out)
                 else:
                     live.append(req)
                     parsed.append(out)
@@ -399,6 +463,13 @@ class TTSServer:
             ).encode()
         return req.response
 
+    def handle_tts_stream(self, payload: dict) -> _Request:
+        req = _Request(payload, stream_q=queue.Queue())
+        with self.metrics.lock:
+            self.metrics.requests_total += 1
+        self.queue.put(req)
+        return req
+
     def make_handler(server_self):
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, fmt, *args):  # quiet
@@ -429,6 +500,36 @@ class TTSServer:
                 else:
                     self._send(404, "application/json", b'{"error":"not found"}')
 
+            def _send_chunk(self, data: bytes):
+                self.wfile.write(f"{len(data):X}\r\n".encode())
+                self.wfile.write(data)
+                self.wfile.write(b"\r\n")
+
+            def _stream(self, req):
+                """Chunked-transfer WAV stream; aborting the connection
+                stops consumption (the reference callback's return-False
+                abort, model.py:306-307)."""
+                timeout = server_self.request_timeout_s + 5
+                first = req.stream_q.get(timeout=timeout)
+                if isinstance(first, tuple) and first and first[0] == "error":
+                    self._send(*first[1])
+                    return
+                if first is None:
+                    self._send(500, "application/json", b'{"error":"empty stream"}')
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                sr = server_self.pipeline.dac.sampling_rate
+                self._send_chunk(wav_stream_header(sr))
+                item = first
+                while item is not None:
+                    if isinstance(item, bytes):
+                        self._send_chunk(item)
+                    item = req.stream_q.get(timeout=timeout)
+                self.wfile.write(b"0\r\n\r\n")
+
             def do_POST(self):
                 if self.path != "/tts":
                     self._send(404, "application/json", b'{"error":"not found"}')
@@ -438,6 +539,9 @@ class TTSServer:
                     payload = json.loads(self.rfile.read(n) or b"{}")
                 except (ValueError, json.JSONDecodeError):
                     self._send(400, "application/json", b'{"error":"invalid JSON"}')
+                    return
+                if payload.get("stream"):
+                    self._stream(server_self.handle_tts_stream(payload))
                     return
                 status, ctype, body = server_self.handle_tts(payload)
                 self._send(status, ctype, body)
