@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.sampling import SamplingParams
+from ..utils import tracing
 
 DEFAULT_SEED = 420  # reference server.py:19
 DEFAULT_UNCONDITIONAL = [
@@ -287,9 +288,11 @@ class TTSServer:
         sr = self.pipeline.dac.sampling_rate
         hop = self.pipeline.dac.hop
         audio_total = 0.0
+        delivered_frames = []
         for i, (req, r) in enumerate(zip(reqs, parsed)):
-            n = min(valid_rows[i], r["max_new_tokens"]) * hop
-            wav = wavs[i, :n]
+            frames = min(valid_rows[i], r["max_new_tokens"])
+            delivered_frames.append(frames)
+            wav = wavs[i, : frames * hop]
             audio_total += wav.shape[-1] / sr
             req.response = (200, "audio/wav", wav_bytes(wav, sr))
             req.done.set()
@@ -297,6 +300,10 @@ class TTSServer:
             self.metrics.audio_seconds_total += audio_total
             self.metrics.compute_seconds_total += compute_s
             self.metrics.batched_requests += len(reqs) - 1 if len(reqs) > 1 else 0
+        tracing.log_event(
+            "tts_group_done", batch=len(reqs), frames=delivered_frames,
+            compute_s=round(compute_s, 3), audio_s=round(audio_total, 3),
+        )
 
     def warmup(self, combos: list[tuple] | None = None) -> int:
         """Precompile decode programs for representative request shapes
@@ -495,8 +502,10 @@ class TTSServer:
                     else:
                         self._send(200, "application/json", b'{"status":"ok"}')
                 elif self.path == "/metrics":
+                    snap = server_self.metrics.snapshot()
+                    snap["phases"] = tracing.timings_snapshot()
                     self._send(200, "application/json",
-                               json.dumps(server_self.metrics.snapshot()).encode())
+                               json.dumps(snap).encode())
                 else:
                     self._send(404, "application/json", b'{"error":"not found"}')
 
@@ -566,3 +575,68 @@ class TTSServer:
         self._stop.set()
         if hasattr(self, "_httpd"):
             self._httpd.shutdown()
+
+
+def main() -> None:
+    """Production server entrypoint (reference runs Flask dev server,
+    server.py:176). Random-inits flagship topology when no checkpoint is
+    given, so the full serving stack is drivable anywhere."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description="zonos-tpu TTS server")
+    ap.add_argument("--config", default=None, help="checkpoint config.json")
+    ap.add_argument("--weights", default=None, help="model.safetensors")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=5000)
+    ap.add_argument("--max-batch", type=int, default=4)
+    ap.add_argument("--batch-window-ms", type=float, default=50.0)
+    ap.add_argument("--warmup", action="store_true",
+                    help="precompile default request shapes before serving")
+    ap.add_argument("--compilation-cache", default=None, metavar="DIR",
+                    help="persistent XLA compilation cache directory")
+    ap.add_argument("--heartbeat-interval-s", type=float, default=0.0,
+                    help="enable mesh heartbeat monitor (0 = off)")
+    args = ap.parse_args()
+
+    from ..pipeline import ZonosPipeline
+    from ..utils import enable_persistent_compilation_cache
+
+    if args.compilation_cache:
+        enable_persistent_compilation_cache(args.compilation_cache)
+
+    if args.config and args.weights:
+        pipeline = ZonosPipeline.from_local(args.config, args.weights)
+    else:
+        from ..config import ZONOS_V01_TRANSFORMER
+
+        tracing.log_event("server_random_init",
+                          reason="no checkpoint given")
+        pipeline = ZonosPipeline.from_config(ZONOS_V01_TRANSFORMER)
+
+    monitor = None
+    if args.heartbeat_interval_s > 0:
+        from ..config import MeshConfig
+        from ..parallel.multihost import Heartbeat, HeartbeatMonitor
+        from ..parallel.sharding import make_mesh
+
+        mesh = make_mesh(MeshConfig(data=len(jax.devices())))
+        monitor = HeartbeatMonitor(
+            Heartbeat(mesh).probe, interval_s=args.heartbeat_interval_s,
+            on_failure=lambda r: tracing.log_event("heartbeat_failure",
+                                                   reason=r),
+        ).start()
+
+    srv = TTSServer(
+        pipeline, host=args.host, port=args.port, max_batch=args.max_batch,
+        batch_window_s=args.batch_window_ms / 1000.0, monitor=monitor,
+    )
+    if args.warmup:
+        tracing.log_event("warmup_start")
+        n = srv.warmup()
+        tracing.log_event("warmup_done", combos=n)
+    tracing.log_event("server_listening", host=args.host, port=args.port)
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
