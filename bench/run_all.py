@@ -1,0 +1,55 @@
+"""Run the full BASELINE.json config suite; collect one JSON line each into
+BENCH_SUITE.json. Each config runs in its own interpreter (clean compile
+cache, isolated HBM). Usage:
+
+    python bench/run_all.py [--quick]
+
+--quick shrinks step counts ~8x for smoke runs.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+
+CONFIGS = [
+    ("config1_sample_path", ["430"], ["54"]),
+    ("config2_voice_clone", ["1290"], ["160"]),
+    ("config3_prefix_continuation", ["860"], ["108"]),
+    ("config4_multilingual_batch", ["430", "8"], ["54", "8"]),
+    ("config5_hybrid_longform", ["5160"], ["645"]),
+]
+
+
+def main():
+    quick = "--quick" in sys.argv
+    results = []
+    for name, args, quick_args in CONFIGS:
+        argv = [sys.executable, f"bench/{name}.py"] + (quick_args if quick else args)
+        t0 = time.time()
+        proc = subprocess.run(
+            argv, capture_output=True, text=True, timeout=3600
+        )
+        line = None
+        for out_line in proc.stdout.strip().splitlines():
+            try:
+                line = json.loads(out_line)
+            except json.JSONDecodeError:
+                continue
+        entry = {
+            "config": name,
+            "wall_s": round(time.time() - t0, 1),
+            "result": line,
+        }
+        if proc.returncode != 0 or line is None:
+            entry["error"] = (proc.stderr or proc.stdout)[-2000:]
+        results.append(entry)
+        print(json.dumps(entry))
+    with open("BENCH_SUITE.json", "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

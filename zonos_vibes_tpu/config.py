@@ -253,3 +253,42 @@ ZONOS_V01_TRANSFORMER = ZonosConfig(
 )
 
 DEFAULT_TRANSFORMER_CONFIG = ZONOS_V01_TRANSFORMER
+
+# Hybrid (Mamba-2 + attention) flagship-scale stand-in (~1.5B params:
+# 42 Mamba-2 blocks + 6 GQA attention blocks with SwiGLU MLPs). The real
+# hybrid topology comes from the checkpoint's config.json
+# (reference model.py:61,69 — ssm_cfg non-empty routes to the hybrid
+# backbone, model.py:73); this literal exists for benches/dry-runs in
+# checkpoint-less environments. Hybrid checkpoints also carry the
+# quality conditioners (CONDITIONING_README.md:73-120).
+_ZONOS_V01_HYBRID_EXTRA_CONDITIONERS = (
+    {"type": "FourierConditioner", "name": "vqscore_8", "input_dim": 8,
+     "min_val": 0.5, "max_val": 0.8, "uncond_type": "learned"},
+    {"type": "FourierConditioner", "name": "ctc_loss", "min_val": -1.0,
+     "max_val": 1000.0, "uncond_type": "learned"},
+    {"type": "FourierConditioner", "name": "dnsmos_ovrl", "min_val": 1.0,
+     "max_val": 5.0, "uncond_type": "learned"},
+    {"type": "IntegerConditioner", "name": "speaker_noised", "min_val": 0,
+     "max_val": 1, "uncond_type": "learned"},
+)
+
+ZONOS_V01_HYBRID = ZonosConfig(
+    backbone=BackboneConfig(
+        d_model=2048,
+        n_layer=48,
+        d_intermediate=0,
+        attn_mlp_d_intermediate=8192,
+        attn_layer_idx=(7, 15, 23, 31, 39, 47),
+        ssm_cfg=_freeze({"layer": "Mamba2", "d_state": 128, "headdim": 64,
+                         "chunk_size": 128}),
+        attn_cfg=_freeze({"num_heads": 16, "num_heads_kv": 4,
+                          "rotary_emb_dim": 64}),
+        rms_norm=True,
+        residual_in_fp32=True,
+    ),
+    prefix_conditioner=PrefixConditionerConfig.from_dict(
+        {"projection": "linear",
+         "conditioners": list(_ZONOS_V01_CONDITIONERS)
+         + list(_ZONOS_V01_HYBRID_EXTRA_CONDITIONERS)}
+    ),
+)

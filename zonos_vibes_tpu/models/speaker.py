@@ -191,10 +191,18 @@ class SpeakerEncoder:
 
     def embed_with_lda(self, params: dict, mel: jnp.ndarray):
         """``[B, 80, T] mel -> (emb_256, lda_128)`` (LDA in fp32,
-        speaker_cloning.py:405-412)."""
-        emb = self.embed(params, mel).astype(jnp.float32)
-        lda = emb @ params["lda"]["weight"] + params["lda"]["bias"]
-        return emb, lda
+        speaker_cloning.py:405-412). Jitted per mel length — the ~100-block
+        ResNet runs as one compiled program, not op-by-op dispatches
+        (compiles once per distinct reference-audio length; embeddings are
+        cached by path in the server anyway)."""
+        if not hasattr(self, "_embed_jit"):
+            def _run(p, m):
+                emb = self.embed(p, m).astype(jnp.float32)
+                lda = emb @ p["lda"]["weight"] + p["lda"]["bias"]
+                return emb, lda
+
+            self._embed_jit = jax.jit(_run)
+        return self._embed_jit(params, mel)
 
     def __call__(self, params: dict, wav: jnp.ndarray, sample_rate: int):
         """Full path (speaker_cloning.py:376-412): ``wav [C, T] or [T]`` ->
