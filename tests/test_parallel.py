@@ -70,6 +70,50 @@ def test_sharded_generate_matches_single_device(setup, mesh_cfg):
     assert int(ref.valid_length) == int(par.valid_length)
 
 
+TINY_HYBRID = ZonosConfig(
+    backbone=BackboneConfig(
+        d_model=64, n_layer=3, d_intermediate=0,
+        attn_mlp_d_intermediate=96, attn_layer_idx=(1,),
+        ssm_cfg=_freeze({"layer": "Mamba2", "d_state": 16, "headdim": 16,
+                         "chunk_size": 8}),
+        attn_cfg=_freeze({"num_heads": 4, "num_heads_kv": 2,
+                          "rotary_emb_dim": 8}),
+        rms_norm=True, residual_in_fp32=True,
+    ),
+    prefix_conditioner=PrefixConditionerConfig.from_dict(
+        {"projection": "linear",
+         "conditioners": [{"type": "EspeakPhonemeConditioner", "name": "espeak"}]}
+    ),
+)
+
+
+@pytest.mark.parametrize("mesh_cfg", [
+    MeshConfig(data=4, model=2),
+    MeshConfig(data=1, model=4),
+])
+def test_hybrid_sharded_generate_matches_single_device(mesh_cfg):
+    """BASELINE config 5 serving shape: the hybrid (Mamba-2 + attention)
+    backbone sharded DP/TP must reproduce single-device output exactly."""
+    model = ZonosModel(TINY_HYBRID)
+    params = model.init(jax.random.key(3), jnp.float32)
+    phonemes = jnp.tile(jnp.asarray([[2, 10, 20, 30, 3]]), (4, 1))
+    cond = model.prepare_conditioning(params, {"espeak": phonemes})
+    kwargs = dict(
+        key=jax.random.key(7), max_new_tokens=4,
+        sampling_params=SamplingParams(temperature=0.0),
+    )
+    ref = DecodeEngine(model).generate(params, cond, **kwargs)
+    par = ParallelEngine(model, mesh_cfg, params).generate(cond, **kwargs)
+    np.testing.assert_array_equal(np.asarray(ref.codes), np.asarray(par.codes))
+
+
+def test_hybrid_param_specs_cover_tree():
+    model = ZonosModel(TINY_HYBRID)
+    params = model.init(jax.random.key(3), jnp.float32)
+    specs = zonos_param_specs(params)
+    jax.tree.map(lambda a, b: None, params, specs)  # structure must match
+
+
 def test_multilingual_heterogeneous_batch(setup):
     """BASELINE config 4 shape: batched decode with left-padded
     heterogeneous-length phoneme prefixes."""

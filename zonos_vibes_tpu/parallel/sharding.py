@@ -64,12 +64,55 @@ def _conditioner_specs(params: dict) -> dict:
     return jax.tree.map(lambda _: P(), params)
 
 
+def _hybrid_layer_specs(layer: dict) -> dict:
+    """Per-layer specs for the hybrid backbone (mamba_backbone.init):
+    the big projections are megatron-sharded; Mamba's small per-head
+    tensors (conv, dt, A, D, ssm norm) are replicated. The Mamba in_proj
+    output axis mixes z|xBC|dt segments — sharding it is still CORRECT
+    under GSPMD (the logical tensor is unchanged; the segment split right
+    after induces resharding), it just leaves some gather traffic on the
+    table vs a segment-aligned layout."""
+    spec: dict = {
+        "norm": jax.tree.map(lambda _: P(), layer["norm"]),
+        "in_proj": {"weight": P(None, MODEL)},   # column parallel
+        "out_proj": {"weight": P(MODEL, None)},  # row parallel
+    }
+    if "conv1d" in layer:  # Mamba-2 mixer
+        spec.update({
+            "conv1d": {"weight": P(), "bias": P()},
+            "dt_bias": P(), "A_log": P(), "D": P(),
+            "ssm_norm": {"weight": P()},
+        })
+    if "fc1" in layer:
+        spec["norm2"] = jax.tree.map(lambda _: P(), layer["norm2"])
+        spec["fc1"] = {"weight": P(None, MODEL)}
+        spec["fc2"] = {"weight": P(MODEL, None)}
+    return spec
+
+
+def hybrid_backbone_param_specs(backbone_params: dict) -> dict:
+    """Specs mirroring the hybrid backbone's per-layer list tree."""
+    return {
+        "layers": [_hybrid_layer_specs(l) for l in backbone_params["layers"]],
+        "norm_f": jax.tree.map(lambda _: P(), backbone_params["norm_f"]),
+    }
+
+
 def zonos_param_specs(params: dict) -> dict:
-    """Full-model PartitionSpec pytree mirroring ``ZonosModel.init``."""
+    """Full-model PartitionSpec pytree mirroring ``ZonosModel.init``.
+    Backbone family inferred from the tree shape: the transformer stacks
+    layers on a leading axis (one dict of [L, ...] tensors); the hybrid
+    keeps a per-layer list (heterogeneous attn/mamba structures)."""
+    bb = params["backbone"]
+    backbone = (
+        hybrid_backbone_param_specs(bb)
+        if isinstance(bb["layers"], (list, tuple))
+        else backbone_param_specs()
+    )
     return {
         "embeddings": {"weight": P(None, None, None)},
         "heads": {"weight": P(None, None, MODEL)},  # vocab-sharded logits
-        "backbone": backbone_param_specs(),
+        "backbone": backbone,
         "prefix_conditioner": _conditioner_specs(params["prefix_conditioner"]),
     }
 
