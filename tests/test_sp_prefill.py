@@ -1,0 +1,90 @@
+"""Sequence-parallel full-stack prefill vs the dense backbone path:
+hidden output AND assembled decode cache must match, and decode must
+continue correctly from an SP-prefilled cache."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zonos_vibes_tpu.config import BackboneConfig, MeshConfig, _freeze
+from zonos_vibes_tpu.models.backbone import (
+    allocate_kv_cache,
+    init_transformer_backbone,
+    transformer_forward,
+)
+from zonos_vibes_tpu.parallel.sharding import make_mesh
+from zonos_vibes_tpu.parallel.sp_prefill import sp_prefill_forward
+
+CFG = BackboneConfig(
+    d_model=64, n_layer=2, attn_mlp_d_intermediate=128,
+    attn_cfg=_freeze({"num_heads": 4, "num_heads_kv": 2}),
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_transformer_backbone(jax.random.key(0), CFG, jnp.float32)
+    B, S, T = 2, 32, 64
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((B, S, 64)).astype(np.float32)
+        * 0.3
+    )
+    lengths = jnp.zeros((B,), jnp.int32)
+    return params, x, lengths, T
+
+
+@pytest.mark.parametrize("method,sp_degree", [("ring", 4), ("ulysses", 2)])
+def test_matches_dense_prefill(setup, method, sp_degree):
+    # Ulysses needs Hkv % degree == 0 (head scatter); ring has no such
+    # constraint — exactly the selection rule documented in SURVEY.md §5.7.
+    params, x, lengths, T = setup
+    B, S, _ = x.shape
+    mesh = make_mesh(MeshConfig(data=1, model=sp_degree))
+
+    cache = allocate_kv_cache(CFG, B, T, jnp.float32)
+    ref_h, ref_cache = transformer_forward(
+        params, CFG, x, cache, jnp.int32(0), lengths
+    )
+
+    cache2 = allocate_kv_cache(CFG, B, T, jnp.float32)
+    sp_h, sp_cache = sp_prefill_forward(
+        params, CFG, x, cache2, lengths, mesh, method=method
+    )
+    np.testing.assert_allclose(
+        np.asarray(sp_h), np.asarray(ref_h), rtol=2e-5, atol=2e-5
+    )
+    for key in ("k", "v"):
+        np.testing.assert_allclose(
+            np.asarray(sp_cache[key]), np.asarray(ref_cache[key]),
+            rtol=2e-5, atol=2e-5,
+        )
+
+
+def test_decode_continues_from_sp_cache(setup):
+    """One decode step from an SP-prefilled cache must match one from the
+    dense-prefilled cache — the handoff contract."""
+    params, x, lengths, T = setup
+    B, S, _ = x.shape
+    mesh = make_mesh(MeshConfig(data=1, model=4))
+
+    cache = allocate_kv_cache(CFG, B, T, jnp.float32)
+    _, dense_cache = transformer_forward(
+        params, CFG, x, cache, jnp.int32(0), lengths
+    )
+    cache2 = allocate_kv_cache(CFG, B, T, jnp.float32)
+    _, sp_cache = sp_prefill_forward(params, CFG, x, cache2, lengths, mesh)
+
+    tok = jnp.asarray(
+        np.random.default_rng(1).standard_normal((B, 1, 64)).astype(np.float32)
+    )
+    step_lengths = jnp.full((B,), S, jnp.int32)
+    ref_y, _ = transformer_forward(
+        params, CFG, tok, dense_cache, jnp.int32(S), step_lengths
+    )
+    sp_y, _ = transformer_forward(
+        params, CFG, tok, sp_cache, jnp.int32(S), step_lengths
+    )
+    np.testing.assert_allclose(
+        np.asarray(sp_y), np.asarray(ref_y), rtol=2e-5, atol=2e-5
+    )
