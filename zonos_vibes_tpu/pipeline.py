@@ -79,6 +79,31 @@ class ZonosPipeline:
         return cls(model=ZonosModel(config), params=params, **kwargs)
 
     @classmethod
+    def from_pretrained(
+        cls, repo_id: str, dtype=jnp.bfloat16, revision: str | None = None,
+        **kwargs,
+    ) -> "ZonosPipeline":
+        """Download ``config.json`` + ``model.safetensors`` from the HF hub
+        and load (reference from_pretrained, model.py:57-63). Requires
+        network access + ``huggingface_hub``; in offline environments use
+        :meth:`from_local` with pre-downloaded files — converted params are
+        disk-cached either way (utils/checkpoint.py)."""
+        try:
+            from huggingface_hub import hf_hub_download
+        except ImportError as e:  # pragma: no cover - env without hub
+            raise RuntimeError(
+                "from_pretrained needs huggingface_hub; use from_local with "
+                "downloaded config.json/model.safetensors instead"
+            ) from e
+        config_path = hf_hub_download(
+            repo_id=repo_id, filename="config.json", revision=revision
+        )
+        model_path = hf_hub_download(
+            repo_id=repo_id, filename="model.safetensors", revision=revision
+        )
+        return cls.from_local(config_path, model_path, dtype=dtype, **kwargs)
+
+    @classmethod
     def from_config(
         cls, config: ZonosConfig, key: jax.Array | None = None,
         dtype=jnp.bfloat16, init_dac: bool = True, **kwargs
