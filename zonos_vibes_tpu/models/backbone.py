@@ -34,7 +34,8 @@ from ..ops.attention import (
     prefill_attention_auto,
     update_kv_cache,
 )
-from ..ops.mlp import swiglu
+from ..ops.mlp import swiglu_p
+from ..ops.quant import proj_matmul
 from ..ops.norms import layer_norm
 from ..ops.rope import apply_rope, rope_table
 
@@ -99,7 +100,7 @@ def _block(
         x, layer_params["norm1"]["weight"], layer_params["norm1"]["bias"],
         cfg.norm_epsilon,
     )
-    qkv = h @ layer_params["in_proj"]["weight"]
+    qkv = proj_matmul(h, layer_params["in_proj"])
     q, k, v = jnp.split(qkv, [Hq * Dh, (Hq + Hkv) * Dh], axis=-1)
     q = q.reshape(B, S, Hq, Dh)
     k = k.reshape(B, S, Hkv, Dh)
@@ -112,14 +113,14 @@ def _block(
         y = decode_attention_auto(q, k_cache, v_cache, seq_end=offset + S)
     else:
         y = prefill_attention_auto(q, k_cache, v_cache, offset, S)
-    y = y.reshape(B, S, Hq * Dh) @ layer_params["out_proj"]["weight"]
+    y = proj_matmul(y.reshape(B, S, Hq * Dh), layer_params["out_proj"])
     x = x + y
 
     h = layer_norm(
         x, layer_params["norm2"]["weight"], layer_params["norm2"]["bias"],
         cfg.norm_epsilon,
     )
-    x = x + swiglu(h, layer_params["fc1"]["weight"], layer_params["fc2"]["weight"])
+    x = x + swiglu_p(h, layer_params["fc1"], layer_params["fc2"])
     return x, k_cache, v_cache
 
 

@@ -48,7 +48,8 @@ from ..ops.mamba import (
     ssd_chunked,
     ssd_step,
 )
-from ..ops.mlp import swiglu
+from ..ops.mlp import swiglu_p
+from ..ops.quant import proj_matmul
 from ..ops.norms import rms_norm, layer_norm
 
 
@@ -199,7 +200,7 @@ class HybridBackbone:
     def _mamba_mixer(self, lp, x, cache, is_decode: bool):
         s = self.ssm
         B, S, D = x.shape
-        zxbcdt = x @ lp["in_proj"]["weight"]
+        zxbcdt = proj_matmul(x, lp["in_proj"])
         z, xBC, dt = jnp.split(
             zxbcdt, [s.d_inner, 2 * s.d_inner + 2 * s.ngroups * s.d_state], axis=-1
         )
@@ -248,13 +249,13 @@ class HybridBackbone:
         # Gated RMSNorm: rmsnorm(y * silu(z)) * weight (norm_before_gate=False)
         y = rms_norm(y * jax.nn.silu(z), lp["ssm_norm"]["weight"],
                      self.cfg.norm_epsilon)
-        out = y @ lp["out_proj"]["weight"]
+        out = proj_matmul(y, lp["out_proj"])
         return out, {"conv": conv_state, "ssm": ssm_state}
 
     def _attn_mixer(self, lp, x, cache, offset, positions, is_decode: bool):
         B, S, D = x.shape
         Hq, Hkv, Dh = self.num_heads, self.num_heads_kv, self.head_dim
-        qkv = x @ lp["in_proj"]["weight"]
+        qkv = proj_matmul(x, lp["in_proj"])
         q, k, v = jnp.split(qkv, [Hq * Dh, (Hq + Hkv) * Dh], axis=-1)
         q = q.reshape(B, S, Hq, Dh)
         k = k.reshape(B, S, Hkv, Dh)
@@ -266,7 +267,7 @@ class HybridBackbone:
             y = decode_attention_auto(q, k_cache, v_cache, offset + S)
         else:
             y = prefill_attention_auto(q, k_cache, v_cache, offset, S)
-        out = y.reshape(B, S, Hq * Dh) @ lp["out_proj"]["weight"]
+        out = proj_matmul(y.reshape(B, S, Hq * Dh), lp["out_proj"])
         return out, {"k": k_cache, "v": v_cache}
 
     # -- forward ------------------------------------------------------------
@@ -304,7 +305,7 @@ class HybridBackbone:
             if "fc1" in lp:
                 residual = hidden + residual
                 normed = self._norm(lp["norm2"], residual.astype(mixed.dtype))
-                hidden = swiglu(normed, lp["fc1"]["weight"], lp["fc2"]["weight"])
+                hidden = swiglu_p(normed, lp["fc1"], lp["fc2"])
             new_cache.append(c)
         residual = hidden + residual
         out = self._norm(params["norm_f"], residual.astype(hidden.dtype))

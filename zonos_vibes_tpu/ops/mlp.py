@@ -16,3 +16,12 @@ def swiglu(x: jnp.ndarray, fc1_w: jnp.ndarray, fc2_w: jnp.ndarray) -> jnp.ndarra
     h = x @ fc1_w  # [..., 2*F]
     y, gate = jnp.split(h, 2, axis=-1)
     return (y * jax.nn.silu(gate)) @ fc2_w
+
+
+def swiglu_p(x: jnp.ndarray, fc1: dict, fc2: dict) -> jnp.ndarray:
+    """Param-dict variant supporting int8 weight-only leaves (ops/quant)."""
+    from .quant import proj_matmul
+
+    h = proj_matmul(x, fc1)
+    y, gate = jnp.split(h, 2, axis=-1)
+    return proj_matmul(y * jax.nn.silu(gate), fc2)

@@ -42,18 +42,34 @@ def make_mesh(cfg: MeshConfig, devices=None) -> Mesh:
     return Mesh(arr, cfg.axis_names)
 
 
-def backbone_param_specs() -> dict:
+def _proj_spec(leaf: dict, wspec: P) -> dict:
+    """Spec for a projection leaf in either format: bf16 ``{"weight"}`` or
+    int8 weight-only ``{"weight_int8", "scale"}`` (ops/quant). The scale is
+    per-output-channel ``[..., 1, out]`` — same layout as the weight, so it
+    takes the same spec."""
+    if "weight_int8" in leaf:
+        # Scale is [..., 1, out]: its contraction axis is size 1, so that
+        # axis must stay unsharded even for row-parallel weights.
+        axes = list(wspec)
+        if len(axes) >= 2:
+            axes[-2] = None
+        return {"weight_int8": wspec, "scale": P(*axes)}
+    return {"weight": wspec}
+
+
+def backbone_param_specs(bb_params: dict) -> dict:
     """PartitionSpecs matching ``init_transformer_backbone``'s tree.
     Layer tensors carry a leading ``n_layer`` axis (sharded on ``pipe`` when
     PP is active; P stages slice layers contiguously via GSPMD)."""
+    layers = bb_params["layers"]
     return {
         "layers": {
             "norm1": {"weight": P(), "bias": P()},
-            "in_proj": {"weight": P(None, None, MODEL)},   # column parallel
-            "out_proj": {"weight": P(None, MODEL, None)},  # row parallel
+            "in_proj": _proj_spec(layers["in_proj"], P(None, None, MODEL)),
+            "out_proj": _proj_spec(layers["out_proj"], P(None, MODEL, None)),
             "norm2": {"weight": P(), "bias": P()},
-            "fc1": {"weight": P(None, None, MODEL)},
-            "fc2": {"weight": P(None, MODEL, None)},
+            "fc1": _proj_spec(layers["fc1"], P(None, None, MODEL)),
+            "fc2": _proj_spec(layers["fc2"], P(None, MODEL, None)),
         },
         "norm_f": {"weight": P(), "bias": P()},
     }
@@ -74,8 +90,8 @@ def _hybrid_layer_specs(layer: dict) -> dict:
     table vs a segment-aligned layout."""
     spec: dict = {
         "norm": jax.tree.map(lambda _: P(), layer["norm"]),
-        "in_proj": {"weight": P(None, MODEL)},   # column parallel
-        "out_proj": {"weight": P(MODEL, None)},  # row parallel
+        "in_proj": _proj_spec(layer["in_proj"], P(None, MODEL)),   # column
+        "out_proj": _proj_spec(layer["out_proj"], P(MODEL, None)),  # row
     }
     if "conv1d" in layer:  # Mamba-2 mixer
         spec.update({
@@ -85,8 +101,8 @@ def _hybrid_layer_specs(layer: dict) -> dict:
         })
     if "fc1" in layer:
         spec["norm2"] = jax.tree.map(lambda _: P(), layer["norm2"])
-        spec["fc1"] = {"weight": P(None, MODEL)}
-        spec["fc2"] = {"weight": P(MODEL, None)}
+        spec["fc1"] = _proj_spec(layer["fc1"], P(None, MODEL))
+        spec["fc2"] = _proj_spec(layer["fc2"], P(MODEL, None))
     return spec
 
 
@@ -107,7 +123,7 @@ def zonos_param_specs(params: dict) -> dict:
     backbone = (
         hybrid_backbone_param_specs(bb)
         if isinstance(bb["layers"], (list, tuple))
-        else backbone_param_specs()
+        else backbone_param_specs(bb)
     )
     return {
         "embeddings": {"weight": P(None, None, None)},

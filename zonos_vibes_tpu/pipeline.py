@@ -219,6 +219,15 @@ class ZonosPipeline:
             base["language_id"] = ids  # [B, 1, 1]
         return base
 
+    def quantize_int8(self) -> "ZonosPipeline":
+        """Switch the backbone projections to int8 weight-only storage
+        (ops/quant): halves the HBM weight traffic that bounds single-stream
+        decode. Embeddings/heads/conditioners/DAC stay bf16. Returns self."""
+        from .ops.quant import quantize_zonos_params
+
+        self.params = quantize_zonos_params(self.params)
+        return self
+
     def speaker_shape(self) -> tuple:
         """Shape of a speaker embedding cond entry ``[1, 1, cond_dim]``
         (128 for the shipped checkpoints, model.py:95) — used by server
