@@ -34,10 +34,16 @@ def main() -> None:
     from zonos_vibes_tpu.models.zonos import ZonosModel
     from zonos_vibes_tpu.ops.sampling import SamplingParams
 
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 430  # 5 s of audio
+    args = [a for a in sys.argv[1:] if a != "int8"]
+    steps = int(args[0]) if args else 430  # 5 s of audio
+    use_int8 = "int8" in sys.argv[1:]
 
     model = ZonosModel(ZONOS_V01_TRANSFORMER)
     params = model.init(jax.random.key(0))
+    if use_int8:
+        from zonos_vibes_tpu.ops.quant import quantize_zonos_params
+
+        params = quantize_zonos_params(params)
     engine = DecodeEngine(model)
 
     # Conditioning prefix: typical phonemized-sentence length (~60 tokens).
@@ -72,7 +78,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "rtf_per_chip",
+                "metric": "rtf_per_chip_int8" if use_int8 else "rtf_per_chip",
                 "value": round(rtf, 4),
                 "unit": "audio_s_per_s",
                 "vs_baseline": round(rtf / 2.0, 4),
