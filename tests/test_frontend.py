@@ -85,6 +85,18 @@ def test_year_expansion():
     assert normalize_numbers("in 1904") == "in nineteen oh four"
 
 
+def test_jp_normalization_routing():
+    """clean() routes ja -> JP normalizer (reference conditioning.py:178-186);
+    without the optional SudachiPy/kanjize stack the gated fallback still
+    applies NFKC (full-width forms fold to ASCII)."""
+    from zonos_vibes_tpu.frontend.text import clean
+
+    out = clean(["１２３ＡＢＣ", "123 pounds"], ["ja", "en-us"])
+    assert "123" in out[0] or "百二十三" in out[0]  # NFKC fallback or kanji
+    assert "ＡＢＣ" not in out[0]  # full-width folded either way
+    assert "one hundred" in out[1] or "hundred" in out[1]
+
+
 def test_phonemize_deterministic():
     tier = backend_name()
     assert tier in ("phonemizer", "espeak-ng", "fallback")

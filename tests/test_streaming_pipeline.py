@@ -37,6 +37,26 @@ def test_stream_matches_one_shot(pipe):  # noqa: F811
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+def test_generate_callback_abort(pipe):  # noqa: F811
+    """Reference callback parity (model.py:229,306-307): fires between
+    segments, False aborts with partial output."""
+    cond = pipe.make_cond_dict(text="Abort me midway.")
+    calls = []
+
+    def cb(frames, step, max_steps):
+        calls.append((frames, step, max_steps))
+        return len(calls) < 2  # abort after the second segment
+
+    res = pipe.generate(
+        cond, key=jax.random.key(4), max_new_tokens=64,
+        sampling_params=SamplingParams(temperature=0.0),
+        callback=cb, callback_interval=8,
+    )
+    assert len(calls) == 2
+    assert all(ms == 64 for _, _, ms in calls)
+    assert 0 < int(res.valid_length) < 64  # partial result returned
+
+
 def test_server_chunked_stream(pipe):  # noqa: F811
     srv = TTSServer(pipe, host="127.0.0.1", port=5094, request_timeout_s=300)
     srv.start_background()

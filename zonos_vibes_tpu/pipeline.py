@@ -275,15 +275,36 @@ class ZonosPipeline:
         cfg_scale: float = 2.0,
         sampling_params: SamplingParams | dict | None = None,
         disable_eos: bool = False,
+        callback=None,  # (frames_done, step, max_steps) -> bool; False aborts
+        callback_interval: int = 43,
     ) -> GenerateResult:
+        """Generate DAC codes. ``callback`` mirrors the reference's abort
+        hook (model.py:229,306-307) without per-step host sync: it fires
+        every ``callback_interval`` decode steps between compiled segments;
+        returning False stops generation and returns what exists so far."""
         with tracing.phase("conditioning"):
             prefix = self.prepare_conditioning(cond_dict)
         with tracing.phase("generate"):
-            result = self.engine.generate(
-                self.params, prefix, audio_prefix_codes,
-                key=key, max_new_tokens=max_new_tokens, cfg_scale=cfg_scale,
-                sampling_params=sampling_params, disable_eos=disable_eos,
-            )
+            if callback is None:
+                result = self.engine.generate(
+                    self.params, prefix, audio_prefix_codes,
+                    key=key, max_new_tokens=max_new_tokens,
+                    cfg_scale=cfg_scale, sampling_params=sampling_params,
+                    disable_eos=disable_eos,
+                )
+            else:
+                result = None
+                step = 0
+                for result in self.engine.generate_stream(
+                    self.params, prefix, audio_prefix_codes,
+                    key=key, max_new_tokens=max_new_tokens,
+                    cfg_scale=cfg_scale, sampling_params=sampling_params,
+                    disable_eos=disable_eos, chunk_steps=callback_interval,
+                ):
+                    step = min(step + callback_interval, max_new_tokens)
+                    if callback(int(result.valid_length), step,
+                                max_new_tokens) is False:
+                        break
             jax.block_until_ready(result.codes)
         tracing.add_counter(
             "audio_seconds", float(result.valid_length) / 86.1328
