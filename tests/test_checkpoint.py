@@ -140,3 +140,22 @@ def test_params_cache_roundtrip(tmp_path):
     # bf16 dtype preserved
     assert back["embeddings"]["weight"].dtype == jnp.bfloat16
     assert back["prefix_conditioner"]["conditioners"]["emotion"]["weight"].dtype == jnp.float32
+
+
+def test_params_cache_roundtrip_quantized_hybrid(tmp_path):
+    """Disk cache must preserve int8 quantized leaves and the hybrid's
+    per-layer list structure (serving restarts reload the quantized form)."""
+    from zonos_vibes_tpu.models.zonos import ZonosModel
+    from zonos_vibes_tpu.ops.quant import quantize_zonos_params
+    from tests.test_parallel import TINY_HYBRID
+
+    model = ZonosModel(TINY_HYBRID)
+    params = quantize_zonos_params(model.init(jax.random.key(0), jnp.float32))
+    path = str(tmp_path / "q.npz")
+    save_params_cache(path, params)
+    back = load_params_cache(path)
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: bool(jnp.array_equal(a, b)) and a.dtype == b.dtype,
+        params, back,
+    ))
+    assert back["backbone"]["layers"][0]["in_proj"]["weight_int8"].dtype == jnp.int8
