@@ -126,6 +126,35 @@ def test_valid_lengths_no_eos_matches_global():
     )
 
 
+def test_eos_cascade_end_to_end():
+    """Rig cb0's head to always emit EOS: the vectorized cascade
+    (model.py:283-294 semantics) must stop the row after ~9 cascade steps,
+    per-row valid length reflects the EOS position, and the trimmed codes
+    are all-zero beyond it."""
+    model, params, cond = _setup()
+    eos = TINY.eos_token_id
+    w = np.zeros(np.asarray(params["heads"]["weight"]).shape, np.float32)
+    w[0, :, eos] = 10.0  # cb0 -> EOS always; other codebooks argmax 0
+    params = dict(params)
+    params["heads"] = {"weight": jnp.asarray(w)}
+
+    engine = DecodeEngine(model)
+    res = engine.generate(
+        params, cond, key=jax.random.key(11), max_new_tokens=20,
+        sampling_params=SamplingParams(temperature=0.0),
+    )
+    # The EOS logit is 10*sum(hidden), so the exact trigger step depends on
+    # the random hidden state's sign — but once cb0 emits EOS the cascade
+    # must stop the row well before max_new_tokens and trim consistently.
+    assert int(res.valid_length) < 20  # stopped early (EOS path taken)
+    assert res.valid_lengths is not None
+    v = int(res.valid_lengths[0])
+    assert v == int(res.valid_length)  # single row: per-row == global
+    codes = np.asarray(res.codes)
+    assert (codes[:, :, v:] == 0).all()
+    assert (codes < TINY.codebook_size).all()  # EOS/MASK never leak out
+
+
 def test_audio_prefix_passthrough():
     """Frames provided as audio prefix must come back verbatim
     (model.py:248-249,296-297: pre-filled slots are never overwritten)."""
