@@ -142,6 +142,9 @@ class ZonosModel:
         """``[cond; uncond]`` stacked on batch — CFG doubling happens here,
         before generation (model.py:204-212)."""
         pc = self.prefix_conditioner
+        missing = pc.required_keys - set(cond_dict)
+        if missing:
+            raise ValueError(f"Missing required keys: {missing}")
         if uncond_dict is None:
             uncond_dict = {k: cond_dict[k] for k in pc.required_keys}
         p = params["prefix_conditioner"]
