@@ -66,3 +66,25 @@ def test_ring_with_data_axis_too():
     out = ring_attention_prefill(q, k, v, mesh, axis_name="model")
     ref = _dense_causal(q, k, v)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("seq_end", [1, 7, 16, 33, 64])
+def test_sp_decode_matches_gathered(seq_end):
+    """Sequence-sharded flash-decode (SURVEY.md §5.7): partial attention per
+    KV time-shard + pmax/psum combine == decode over the gathered cache —
+    including seq_end values that leave whole shards fully masked."""
+    from zonos_vibes_tpu.ops.attention import decode_attention
+    from zonos_vibes_tpu.parallel.ring_attention import sp_decode_attention
+
+    rng = np.random.default_rng(seq_end)
+    B, Hq, Hkv, D, T = 2, 8, 2, 16, 64
+    q = jnp.asarray(rng.standard_normal((B, 1, Hq, D)).astype(np.float32))
+    kc = jnp.asarray(rng.standard_normal((B, Hkv, D, T)).astype(np.float32))
+    vc = jnp.asarray(rng.standard_normal((B, Hkv, D, T)).astype(np.float32))
+    mesh = make_mesh(MeshConfig(data=1, model=4))
+
+    ref = decode_attention(q, kc, vc, jnp.int32(seq_end))
+    out = sp_decode_attention(q, kc, vc, seq_end, mesh, axis_name="model")
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )

@@ -167,3 +167,60 @@ def ulysses_prefill(
         check_vma=False,
     )
     return fn(q, k, v)
+
+
+def _sp_decode_body(q, k_loc, v_loc, seq_end, axis_name: str):
+    """Partial single-query attention over the local KV time-shard, then one
+    max-shifted (numerator, denominator) psum — flash-decoding over ICI
+    (SURVEY.md §5.7: each chip attends to the KV it produced)."""
+    B, S, Hq, D = q.shape
+    Hkv = k_loc.shape[1]
+    T_loc = k_loc.shape[3]
+    G = Hq // Hkv
+    idx = jax.lax.axis_index(axis_name)
+
+    qg = q.reshape(B, S, Hkv, G, D)
+    scores = jnp.einsum(
+        "bskgd,bkdt->bkgst", qg, k_loc, preferred_element_type=jnp.float32
+    ) * (1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32)))  # [B,Hkv,G,1,T_loc]
+    pos = idx * T_loc + jnp.arange(T_loc, dtype=jnp.int32)
+    valid = pos[None, None, None, None, :] < seq_end
+    scores = jnp.where(valid, scores, NEG_INF)
+
+    m_loc = jnp.max(scores, axis=-1, keepdims=True)
+    m_glob = jax.lax.pmax(m_loc, axis_name)
+    p = jnp.exp(scores - m_glob)  # fully-masked shards -> all zeros
+    num = jnp.einsum(
+        "bkgst,bkdt->bkgsd", p.astype(v_loc.dtype), v_loc,
+        preferred_element_type=jnp.float32,
+    )
+    den = jnp.sum(p, axis=-1, keepdims=True)  # [B,Hkv,G,1,1]
+    num = jax.lax.psum(num, axis_name)
+    den = jax.lax.psum(den, axis_name)
+    out = num / den  # [B,Hkv,G,1,D]
+    return out.transpose(0, 3, 1, 2, 4).reshape(B, S, Hq, D).astype(q.dtype)
+
+
+def sp_decode_attention(
+    q: jnp.ndarray,  # [B, 1, Hq, D] (replicated)
+    k_cache: jnp.ndarray,  # [B, Hkv, D, T] — TIME-sharded over axis_name
+    v_cache: jnp.ndarray,
+    seq_end,  # scalar int32: global valid length
+    mesh: Mesh,
+    axis_name: str = "model",
+) -> jnp.ndarray:
+    """Sequence-sharded single-query decode attention: the KV cache stays
+    split along time (each device keeps the shard its prefill produced —
+    no all-gather), and the softmax combines across devices with one
+    ``pmax`` + two ``psum``s. Semantics identical to
+    ops/attention.decode_attention on the gathered cache."""
+    kv_spec = P(None, None, None, axis_name)
+    rep = P(None, None, None, None)
+    fn = shard_map(
+        functools.partial(_sp_decode_body, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=(rep, kv_spec, kv_spec, P()),
+        out_specs=rep,
+        check_vma=False,
+    )
+    return fn(q, k_cache, v_cache, jnp.asarray(seq_end, jnp.int32))
