@@ -25,12 +25,16 @@ import jax.numpy as jnp
 
 def quantize_weight(w: jnp.ndarray) -> dict:
     """``[..., in, out]`` float -> int8 + per-out-channel scale (fp32).
-    Leading axes (e.g. the stacked-layer axis) are preserved."""
-    w32 = w.astype(jnp.float32)
-    absmax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)  # [..., 1, out]
-    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
-    q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
-    return {"weight_int8": q, "scale": scale}
+    Leading axes (e.g. the stacked-layer axis) are preserved. Quantization
+    math runs HOST-side (numpy): it is one-time load work, and doing it on
+    device would spike HBM with fp32 copies of multi-GB stacked tensors."""
+    import numpy as np
+
+    w32 = np.asarray(jax.device_get(w), np.float32)
+    absmax = np.max(np.abs(w32), axis=-2, keepdims=True)  # [..., 1, out]
+    scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(w32 / scale), -127, 127).astype(np.int8)
+    return {"weight_int8": jnp.asarray(q), "scale": jnp.asarray(scale)}
 
 
 def proj_matmul(x: jnp.ndarray, p: dict) -> jnp.ndarray:
