@@ -352,6 +352,11 @@ class ZonosPipeline:
             # same edges the one-shot decode has).
             c0 = max(0, start - margin_frames)
             c1 = min(avail, end + margin_frames)
+            # Quantize the window length to 8-frame steps by extending the
+            # LEFT context (always correctness-neutral): bounds the number
+            # of distinct compiled vocoder shapes per stream to ~W/8
+            # instead of one per ragged final chunk.
+            c0 = max(0, c1 - (-(c0 - c1) + 7) // 8 * 8)
             wav = self._decode_jit(self.dac_params, codes_all[:, :, c0:c1])
             wav = np.asarray(wav[:, 0, :], np.float32)
             off = (start - c0) * hop

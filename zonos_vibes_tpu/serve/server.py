@@ -99,6 +99,9 @@ class _Request:
     # Streaming requests get a chunk queue instead of a one-shot response:
     # items are PCM bytes, ("error", response_tuple), or None (end).
     stream_q: "queue.Queue | None" = None
+    # Set by the HTTP thread when the client goes away; the worker stops
+    # generating at the next segment boundary.
+    cancelled: threading.Event = field(default_factory=threading.Event)
 
 
 class Metrics:
@@ -359,6 +362,8 @@ class TTSServer:
                 cond, key=key, cfg_scale=r["cfg_scale"],
                 max_new_tokens=mnt, sampling_params=r["sampling"],
             ):
+                if req.cancelled.is_set():
+                    break  # client went away — stop decoding
                 pcm = chunk[0]
                 take = min(budget - sent, pcm.shape[-1])
                 if take <= 0:
@@ -531,13 +536,16 @@ class TTSServer:
                 self.send_header("Transfer-Encoding", "chunked")
                 self.end_headers()
                 sr = server_self.pipeline.dac.sampling_rate
-                self._send_chunk(wav_stream_header(sr))
-                item = first
-                while item is not None:
-                    if isinstance(item, bytes):
-                        self._send_chunk(item)
-                    item = req.stream_q.get(timeout=timeout)
-                self.wfile.write(b"0\r\n\r\n")
+                try:
+                    self._send_chunk(wav_stream_header(sr))
+                    item = first
+                    while item is not None:
+                        if isinstance(item, bytes):
+                            self._send_chunk(item)
+                        item = req.stream_q.get(timeout=timeout)
+                    self.wfile.write(b"0\r\n\r\n")
+                except (BrokenPipeError, ConnectionResetError):
+                    req.cancelled.set()  # stop the worker's decode
 
             def do_POST(self):
                 if self.path != "/tts":
