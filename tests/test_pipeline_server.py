@@ -364,6 +364,14 @@ def test_wav_roundtrip(tmp_path):
     np.testing.assert_allclose(back[0], wav, atol=1e-3)
 
 
+def test_model_info_endpoint(server):
+    with urllib.request.urlopen("http://127.0.0.1:5099/model-info", timeout=10) as r:
+        info = json.loads(r.read())
+    assert "espeak" in info["conditioners"]
+    assert "speaker" in info["conditioners"]
+    assert "dnsmos_ovrl" not in info["conditioners"]  # tiny cfg lacks it
+
+
 def test_webui_served(server):
     with urllib.request.urlopen("http://127.0.0.1:5099/", timeout=10) as r:
         body = r.read().decode()

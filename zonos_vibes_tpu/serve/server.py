@@ -499,6 +499,15 @@ class TTSServer:
                     from .webui import index_html
 
                     self._send(200, "text/html; charset=utf-8", index_html())
+                elif self.path == "/model-info":
+                    # Conditioner roster for the UI's dynamic show/hide
+                    # (reference update_ui, gradio_interface.py:31-82).
+                    names = [
+                        s.name for s in
+                        server_self.pipeline.model.prefix_conditioner.specs
+                    ]
+                    self._send(200, "application/json",
+                               json.dumps({"conditioners": names}).encode())
                 elif self.path == "/healthz":
                     mon = server_self.monitor
                     if mon is not None and not mon.healthy:

@@ -78,6 +78,24 @@ function slider(parent, name, lo, hi, v, step) {
 const sel = document.getElementById("language");
 LANGS.forEach(l => { const o = document.createElement("option"); o.value = o.text = l; if (l==="en-us") o.selected = true; sel.add(o); });
 SLIDERS.forEach(s => slider(document.getElementById("sliders"), ...s));
+// Dynamic show/hide by the loaded model's conditioners (the reference's
+// update_ui, gradio_interface.py:31-82): hybrid-only knobs disappear when
+// the transformer checkpoint is loaded.
+const KNOB_TO_COND = {fmax: "fmax", pitch_std: "pitch_std",
+                      speaking_rate: "speaking_rate", dnsmos_ovrl: "dnsmos_ovrl",
+                      vq_single: "vqscore_8"};
+fetch("/model-info").then(r => r.json()).then(info => {
+  const have = new Set(info.conditioners);
+  for (const [knob, cond] of Object.entries(KNOB_TO_COND)) {
+    const el = document.getElementById(knob);
+    if (el && !have.has(cond)) el.parentElement.style.display = "none";
+  }
+  if (!have.has("speaker_noised"))
+    document.getElementById("speaker_noised").parentElement.style.display = "none";
+  if (!have.has("emotion")) {
+    document.getElementById("emotions").parentElement.style.display = "none";
+  }
+}).catch(() => {});
 SAMPLING.forEach(s => slider(document.getElementById("sampling"), ...s));
 EMOTIONS.forEach((e, i) => slider(document.getElementById("emotions"), "emo_" + e, 0, 1, EMO_DEFAULT[i], 0.01));
 const val = id => parseFloat(document.getElementById(id).value);
