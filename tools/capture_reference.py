@@ -54,15 +54,23 @@ def main() -> None:
     ids, lengths = tokenize_phonemes(phonemes)
     with open(os.path.join(args.out, "phonemes.json"), "w") as f:
         json.dump({"text": args.text, "language": args.language,
-                   "phonemes": phonemes, "ids": ids.tolist(),
+                   "phonemes": phonemes, "token_ids": ids.tolist(),
                    "lengths": lengths}, f)
 
     # Stage 2: conditioning
     cond_dict = make_cond_dict(text=args.text, language=args.language,
                                speaker=None, device="cpu")
     cond = model.prepare_conditioning(cond_dict)
+    # Numeric cond inputs under cond_* (espeak as the stage-1 token ids) so
+    # tests/test_golden_reference.py can replay the same conditioning.
+    cond_inputs = {"cond_espeak": ids.numpy()}
+    for name, value in cond_dict.items():
+        if name == "espeak":
+            continue
+        if hasattr(value, "cpu"):
+            cond_inputs[f"cond_{name}"] = value.float().cpu().numpy()
     np.savez(os.path.join(args.out, "conditioning.npz"),
-             prefix_conditioning=cond.float().numpy())
+             prefix=cond.float().numpy(), **cond_inputs)
 
     # Stage 3+4: greedy decode + codes
     with torch.inference_mode():
@@ -72,11 +80,12 @@ def main() -> None:
             disable_torch_compile=True,
         )
     np.savez(os.path.join(args.out, "decode_codes.npz"),
-             codes=codes.cpu().numpy())
+             codes=codes.cpu().numpy(), **cond_inputs)
 
     # Stage 5: DAC decode
     wav = model.autoencoder.decode(codes).cpu().float().numpy()
-    np.savez(os.path.join(args.out, "dac_wav.npz"), wav=wav)
+    np.savez(os.path.join(args.out, "dac_wav.npz"), wav=wav,
+             codes=codes.cpu().numpy())
 
     # Model weights for conversion testing
     print(f"captured {args.steps}-step golden set into {args.out}/")
