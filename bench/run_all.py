@@ -15,6 +15,7 @@ import sys
 import time
 
 CONFIGS = [
+    ("../bench", ["430", "int8"], ["54", "int8"]),  # headline, int8 weights
     ("config1_sample_path", ["430"], ["54"]),
     ("config2_voice_clone", ["1290"], ["160"]),
     ("config3_prefix_continuation", ["860"], ["108"]),
@@ -27,7 +28,8 @@ def main():
     quick = "--quick" in sys.argv
     results = []
     for name, args, quick_args in CONFIGS:
-        argv = [sys.executable, f"bench/{name}.py"] + (quick_args if quick else args)
+        script = "bench.py" if name == "../bench" else f"bench/{name}.py"
+        argv = [sys.executable, script] + (quick_args if quick else args)
         t0 = time.time()
         proc = subprocess.run(
             argv, capture_output=True, text=True, timeout=3600
