@@ -143,7 +143,7 @@ def test_server_tts_contract(server, tmp_path_factory):
          "max_new_tokens": 6},
     )
     assert status2 == 200
-    assert spk_path in server._spk_cache
+    assert ("default", spk_path) in server._spk_cache
 
 
 def test_server_errors(server):
@@ -237,6 +237,7 @@ def test_server_replay_and_healthz(pipe):
         return real_generate(*a, **kw)
 
     srv.pipeline = _FlakyPipeline(pipe, flaky_generate)
+    srv.pipelines["default"] = srv.pipeline
     srv.start_background()
     try:
         status, ctype, body = _post(
@@ -349,6 +350,41 @@ def test_server_concurrent_load(pipe):
         assert m["requests_total"] == 9
         assert m["errors_total"] == 0  # 400s are client errors, not failures
         assert m["batched_requests"] >= 1  # at least one shared decode
+    finally:
+        srv.shutdown()
+
+
+def test_server_multi_model(pipe):
+    """Model selector parity (gradio_interface.py:206-217): named pipelines
+    share the queue; requests pick one via "model"."""
+    from tests.test_parallel import TINY_HYBRID
+
+    hybrid = ZonosPipeline.from_config(
+        TINY_HYBRID, key=jax.random.key(5), dtype=jnp.float32,
+        dac=DACAutoencoder(TINY_DAC),
+    )
+    srv = TTSServer(pipe, host="127.0.0.1", port=5093, request_timeout_s=300,
+                    extra_pipelines={"hybrid": hybrid})
+    srv.start_background()
+    try:
+        with urllib.request.urlopen("http://127.0.0.1:5093/model-info",
+                                    timeout=10) as r:
+            info = json.loads(r.read())
+        assert info["models"] == ["default", "hybrid"]
+        assert "espeak" in info["conditioners_by_model"]["hybrid"]
+
+        status, ctype, body = _post(
+            "http://127.0.0.1:5093/tts",
+            {"text": "Hybrid please.", "model": "hybrid", "max_new_tokens": 6,
+             "emotion": [0.3, 0.03, 0.03, 0.03, 0.03, 0.03, 0.25, 0.3]},
+        )
+        assert status == 200, body[:200]
+        assert ctype == "audio/wav"
+
+        status, _, body = _post(
+            "http://127.0.0.1:5093/tts", {"text": "x", "model": "nope"},
+        )
+        assert status == 400 and b"Unknown model" in body
     finally:
         srv.shutdown()
 

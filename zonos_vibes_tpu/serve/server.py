@@ -145,8 +145,15 @@ class TTSServer:
         seed: int = DEFAULT_SEED,
         monitor=None,  # parallel.multihost.HeartbeatMonitor | None
         max_retries: int = 1,
+        extra_pipelines: dict | None = None,
     ):
         self.pipeline = pipeline
+        # Multi-model serving (the reference gradio's model selector,
+        # gradio_interface.py:206-217): named pipelines share the request
+        # queue; requests pick one via the "model" payload key.
+        self.pipelines = {"default": pipeline}
+        if extra_pipelines:
+            self.pipelines.update(extra_pipelines)
         self.host, self.port = host, port
         self.max_batch = max_batch
         self.batch_window_s = batch_window_s
@@ -167,14 +174,15 @@ class TTSServer:
 
     # -- speaker cache (reference server.py:38-57) --------------------------
 
-    def _speaker_embedding(self, path: str):
+    def _speaker_embedding(self, path: str, model: str = "default"):
+        key = (model, path)
         with self._spk_lock:
-            if path in self._spk_cache:
-                return self._spk_cache[path]
+            if key in self._spk_cache:
+                return self._spk_cache[key]
         wav, sr = read_wav(path)
-        emb = self.pipeline.make_speaker_embedding(wav, sr)
+        emb = self.pipelines[model].make_speaker_embedding(wav, sr)
         with self._spk_lock:
-            self._spk_cache[path] = emb
+            self._spk_cache[key] = emb
         return emb
 
     # -- request processing (single-owner worker) ---------------------------
@@ -186,13 +194,19 @@ class TTSServer:
             return 400, "application/json", json.dumps(
                 {"error": "Missing required field: text"}
             ).encode()
+        model = p.get("model", "default")
+        if model not in self.pipelines:
+            return 400, "application/json", json.dumps(
+                {"error": f"Unknown model: {model}",
+                 "available": sorted(self.pipelines)}
+            ).encode()
         speaker_path = p.get("speaker_audio_path")
         # The reference /tts requires a speaker path (server.py:66-70); the
         # extended UI payload may omit it to use the learned uncond speaker.
         speaker = None
         if speaker_path:
             try:
-                speaker = self._speaker_embedding(speaker_path)
+                speaker = self._speaker_embedding(speaker_path, model)
             except FileNotFoundError:
                 return 404, "application/json", json.dumps(
                     {"error": f"Speaker audio not found: {speaker_path}"}
@@ -235,10 +249,12 @@ class TTSServer:
             "cfg_scale": float(p.get("cfg_scale", 2.0)),
             "max_new_tokens": mnt,
             "stream": bool(p.get("stream", False)),
+            "model": model,
             "seed": int(p.get("seed", self.seed)),
             # Batching compatibility key: requests in one decode call must
-            # share uncond pattern / speaker presence / sampling / cfg.
-            "group": (uncond, speaker is not None, sampling,
+            # share model / uncond pattern / speaker presence / sampling /
+            # cfg.
+            "group": (model, uncond, speaker is not None, sampling,
                       float(p.get("cfg_scale", 2.0))),
         }
 
@@ -264,32 +280,31 @@ class TTSServer:
     def _process_group(self, reqs: list[_Request], parsed: list[dict]) -> None:
         """One decode call for a compatible group (the reference serves one
         request at a time, SURVEY.md §3.3 — batching is the DP win)."""
-        conds = [
-            self.pipeline.make_cond_dict(**r["cond_kwargs"]) for r in parsed
-        ]
+        pipe = self.pipelines[parsed[0]["model"]]
+        conds = [pipe.make_cond_dict(**r["cond_kwargs"]) for r in parsed]
         pad_len = self._cond_bucket(
             max(int(c["espeak"].shape[1]) for c in conds)
         )
-        cond = self.pipeline.merge_cond_dicts(conds, pad_len=pad_len)
+        cond = pipe.merge_cond_dicts(conds, pad_len=pad_len)
         mnt = self._bucket(max(r["max_new_tokens"] for r in parsed))
         self._req_counter += 1
         key = jax.random.fold_in(
             jax.random.key(parsed[0]["seed"]), self._req_counter
         )
         t0 = time.monotonic()
-        result = self.pipeline.generate(
+        result = pipe.generate(
             cond, key=key, cfg_scale=parsed[0]["cfg_scale"],
             max_new_tokens=mnt, sampling_params=parsed[0]["sampling"],
         )
-        wavs = self.pipeline.decode_audio(result)  # [B, samples]
+        wavs = pipe.decode_audio(result)  # [B, samples]
         compute_s = time.monotonic() - t0
         valid_rows = (
             [int(v) for v in result.valid_lengths]
             if result.valid_lengths is not None
             else [int(result.valid_length)] * len(reqs)
         )
-        sr = self.pipeline.dac.sampling_rate
-        hop = self.pipeline.dac.hop
+        sr = pipe.dac.sampling_rate
+        hop = pipe.dac.hop
         audio_total = 0.0
         delivered_frames = []
         for i, (req, r) in enumerate(zip(reqs, parsed)):
@@ -346,19 +361,20 @@ class TTSServer:
         grouped) — the stream's pacing is the caller's playback clock."""
         assert req.stream_q is not None
         try:
-            conds = [self.pipeline.make_cond_dict(**r["cond_kwargs"])]
+            pipe = self.pipelines[r["model"]]
+            conds = [pipe.make_cond_dict(**r["cond_kwargs"])]
             pad_len = self._cond_bucket(int(conds[0]["espeak"].shape[1]))
-            cond = self.pipeline.merge_cond_dicts(conds, pad_len=pad_len)
+            cond = pipe.merge_cond_dicts(conds, pad_len=pad_len)
             mnt = self._bucket(r["max_new_tokens"])
             self._req_counter += 1
             key = jax.random.fold_in(
                 jax.random.key(r["seed"]), self._req_counter
             )
-            hop = self.pipeline.dac.hop
+            hop = pipe.dac.hop
             budget = r["max_new_tokens"] * hop  # trim to the asked length
             sent = 0
             t0 = time.monotonic()
-            for chunk in self.pipeline.generate_stream(
+            for chunk in pipe.generate_stream(
                 cond, key=key, cfg_scale=r["cfg_scale"],
                 max_new_tokens=mnt, sampling_params=r["sampling"],
             ):
@@ -373,7 +389,7 @@ class TTSServer:
                 sent += take
             with self.metrics.lock:
                 self.metrics.audio_seconds_total += (
-                    sent / self.pipeline.dac.sampling_rate
+                    sent / pipe.dac.sampling_rate
                 )
                 self.metrics.compute_seconds_total += time.monotonic() - t0
         except Exception as e:  # noqa: BLE001 — boundary
@@ -501,13 +517,22 @@ class TTSServer:
                     self._send(200, "text/html; charset=utf-8", index_html())
                 elif self.path == "/model-info":
                     # Conditioner roster for the UI's dynamic show/hide
-                    # (reference update_ui, gradio_interface.py:31-82).
-                    names = [
-                        s.name for s in
-                        server_self.pipeline.model.prefix_conditioner.specs
-                    ]
+                    # (reference update_ui, gradio_interface.py:31-82) +
+                    # the model selector list (gradio_interface.py:206-217).
+                    info = {
+                        "models": sorted(server_self.pipelines),
+                        "conditioners": [
+                            s.name for s in server_self.pipeline
+                            .model.prefix_conditioner.specs
+                        ],
+                        "conditioners_by_model": {
+                            name: [s.name for s in
+                                   p.model.prefix_conditioner.specs]
+                            for name, p in server_self.pipelines.items()
+                        },
+                    }
                     self._send(200, "application/json",
-                               json.dumps({"conditioners": names}).encode())
+                               json.dumps(info).encode())
                 elif self.path == "/healthz":
                     mon = server_self.monitor
                     if mon is not None and not mon.healthy:
