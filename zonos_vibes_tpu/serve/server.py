@@ -628,6 +628,9 @@ def main() -> None:
     ap = argparse.ArgumentParser(description="zonos-tpu TTS server")
     ap.add_argument("--config", default=None, help="checkpoint config.json")
     ap.add_argument("--weights", default=None, help="model.safetensors")
+    ap.add_argument("--hybrid-config", default=None,
+                    help="optional second checkpoint served as model=hybrid")
+    ap.add_argument("--hybrid-weights", default=None)
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=5000)
     ap.add_argument("--max-batch", type=int, default=4)
@@ -656,8 +659,14 @@ def main() -> None:
         tracing.log_event("server_random_init",
                           reason="no checkpoint given")
         pipeline = ZonosPipeline.from_config(ZONOS_V01_TRANSFORMER)
+    extra = None
+    if args.hybrid_config and args.hybrid_weights:
+        extra = {"hybrid": ZonosPipeline.from_local(
+            args.hybrid_config, args.hybrid_weights)}
     if args.int8:
         pipeline.quantize_int8()
+        for p in (extra or {}).values():
+            p.quantize_int8()
 
     monitor = None
     if args.heartbeat_interval_s > 0:
@@ -675,6 +684,7 @@ def main() -> None:
     srv = TTSServer(
         pipeline, host=args.host, port=args.port, max_batch=args.max_batch,
         batch_window_s=args.batch_window_ms / 1000.0, monitor=monitor,
+        extra_pipelines=extra,
     )
     if args.warmup:
         tracing.log_event("warmup_start")
