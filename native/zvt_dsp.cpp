@@ -149,10 +149,15 @@ void zvt_log_mel_16k(const float* wav, int64_t n, float* out) {
 
   const int pad = n_fft / 2;
   auto sample_at = [&](int64_t idx) -> double {
-    // reflect padding
+    // Reflect padding. Iterate: one reflection per side is not enough when
+    // the clip is shorter than the pad (n <= 256), which previously read
+    // out of bounds.
     int64_t i = idx - pad;
-    if (i < 0) i = -i;
-    if (i >= n) i = 2 * (n - 1) - i;
+    if (n == 1) return wav[0];
+    while (i < 0 || i >= n) {
+      if (i < 0) i = -i;
+      if (i >= n) i = 2 * (n - 1) - i;
+    }
     return wav[i];
   };
 

@@ -169,3 +169,22 @@ def test_audio_prefix_passthrough():
     )
     assert res.codes.shape == (1, 9, 10)
     np.testing.assert_array_equal(np.asarray(res.codes[..., :4]), np.asarray(prefix))
+
+
+def test_disable_eos_covers_first_frame():
+    """disable_eos=True must forbid EOS on the prefill-sampled first frame
+    too (review finding); the same EOS-rigged head that stops generation
+    early with disable_eos=False must now run to full length."""
+    model, params, cond = _setup()
+    eos = TINY.eos_token_id
+    w = np.zeros(np.asarray(params["heads"]["weight"]).shape, np.float32)
+    w[:, :, eos] = 10.0  # every codebook pushed toward EOS
+    params = dict(params)
+    params["heads"] = {"weight": jnp.asarray(w)}
+    engine = DecodeEngine(model)
+    res = engine.generate(
+        params, cond, key=jax.random.key(12), max_new_tokens=10,
+        sampling_params=SamplingParams(temperature=0.0), disable_eos=True,
+    )
+    assert int(res.valid_length) == 10
+    assert (np.asarray(res.codes) != eos).all()

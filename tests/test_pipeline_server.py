@@ -434,3 +434,34 @@ def test_extended_ui_payload(server):
     )
     assert status == 200, body[:300]
     assert ctype == "audio/wav"
+
+
+def test_language_case_insensitive(pipe):
+    """Mixed-case language codes must work, not KeyError (review finding)."""
+    cond = pipe.make_cond_dict(text="Hi", language="EN-US")
+    assert "espeak" in cond
+    with pytest.raises(ValueError):
+        pipe.make_cond_dict(text="Hi", language="xx-zz")
+
+
+def test_short_speaker_audio(pipe):
+    """Speaker clips shorter than the mel reflect pad must not crash
+    (review finding: OOB read in native DSP / jnp.pad failure)."""
+    for n in (50, 300, 1000):
+        wav = np.random.default_rng(n).standard_normal(n).astype(np.float32)
+        emb = pipe.make_speaker_embedding(wav, 16000)
+        assert emb.shape == (1, 1, 16)
+        assert np.isfinite(np.asarray(emb, np.float32)).all()
+
+
+def test_explicit_seed_isolates_batch_group(pipe):
+    """Explicit seeds opt out of cross-seed batching (the group shares one
+    PRNG key, so reproducibility requires isolation)."""
+    srv = TTSServer(pipe, host="127.0.0.1", port=1)  # never started
+    base = {"text": "x", "emotion": [0.3] * 8, "max_new_tokens": 6}
+    g_none_a = srv._parse(dict(base))["group"]
+    g_none_b = srv._parse(dict(base))["group"]
+    g_s1 = srv._parse({**base, "seed": 1})["group"]
+    g_s2 = srv._parse({**base, "seed": 2})["group"]
+    assert g_none_a == g_none_b        # unseeded requests batch freely
+    assert g_s1 != g_s2 != g_none_a    # explicit seeds isolate

@@ -74,9 +74,17 @@ def _prefill_state(
     max_new_tokens: int,
     cfg_scale: float,
     sampling: SamplingParams,
+    disable_eos: bool = False,
 ) -> dict:
     """Build caches, apply the delay pattern, run prefill, sample the first
-    frame (model.py:241-264). Returns the decode-loop state pytree."""
+    frame (model.py:241-264). Returns the decode-loop state pytree.
+
+    The reference builds its EOS logit bias only AFTER the first frame
+    (model.py:256-267), so with ``disable_eos=False`` the first frame is
+    sampled unbiased here too (parity). ``disable_eos=True`` is our
+    extension promising NO EOS anywhere — that contract must also hold for
+    the first frame, so the all-codebook bias applies to the prefill
+    logits."""
     cfg: ZonosConfig = model.config
     K = cfg.num_codebooks
     mask_tok = cfg.masked_token_id
@@ -112,6 +120,8 @@ def _prefill_state(
         params, hidden, cache, jnp.int32(0), lengths0, cfg_scale, rope
     )
 
+    if disable_eos:
+        logits = logits.at[:, :, cfg.eos_token_id].set(NEG_INF)
     key, k0 = jax.random.split(key)
     next_token = sample_from_logits(k0, logits, sampling)  # [B, K]
 
@@ -272,7 +282,7 @@ def generate_jit(
     cond_len = prefix_conditioning.shape[1]
     state = _prefill_state(
         model, params, prefix_conditioning, audio_prefix_codes, key,
-        prefix_audio_len, max_new_tokens, cfg_scale, sampling,
+        prefix_audio_len, max_new_tokens, cfg_scale, sampling, disable_eos,
     )
     state = _decode_loop(
         model, params, state, cond_len, cfg_scale, sampling, disable_eos,
@@ -289,7 +299,7 @@ def prefill_jit(
 ):
     return _prefill_state(
         model, params, prefix_conditioning, audio_prefix_codes, key,
-        prefix_audio_len, max_new_tokens, cfg_scale, sampling,
+        prefix_audio_len, max_new_tokens, cfg_scale, sampling, disable_eos,
     )
 
 

@@ -217,17 +217,26 @@ class SpeakerEncoder:
         wav = jnp.asarray(wav, jnp.float32)
         if wav.ndim == 2:
             wav = wav.mean(axis=0)
+        # The mel frontend reflect-pads n_fft/2 = 256 samples per side;
+        # inputs shorter than that read out of bounds (native) or fail
+        # (jnp.pad reflect). Clips under ~32 ms are degenerate speaker
+        # references anyway — zero-pad to one full frame.
+        MIN_16K = 512
+
         if native_dsp.available():
             import numpy as np
 
             mono = np.asarray(wav, np.float32)
-            mel = jnp.asarray(
-                native_dsp.log_mel_16k(
-                    native_dsp.resample(mono, sample_rate, 16_000)
-                )
-            )[None]
+            wav16 = native_dsp.resample(mono, sample_rate, 16_000)
+            if wav16.shape[-1] < MIN_16K:
+                wav16 = np.pad(wav16, (0, MIN_16K - wav16.shape[-1]))
+            mel = jnp.asarray(native_dsp.log_mel_16k(wav16))[None]
         else:
             wav16 = resample(wav[None, :], sample_rate, 16_000)
+            if wav16.shape[-1] < MIN_16K:
+                wav16 = jnp.pad(
+                    wav16, ((0, 0), (0, MIN_16K - wav16.shape[-1]))
+                )
             mel = log_fbank(wav16)
         return self.embed_with_lda(params, mel)
 

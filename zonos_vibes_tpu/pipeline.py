@@ -145,18 +145,23 @@ class ZonosPipeline:
         dnsmos_ovrl: float = 4.0,
         speaker_noised: bool = False,
         unconditional_keys: Any = frozenset({"vqscore_8", "dnsmos_ovrl"}),
+        _phoneme_ids: list | None = None,  # precomputed (batch path)
     ) -> dict:
         """Build the numeric cond dict (reference conditioning.py:330-405).
         Host-side phonemization happens here; the result contains only
         arrays, so ``prepare_conditioning`` is pure device math."""
-        if language.lower() not in _LANGUAGE_TO_ID:
+        language = language.lower()
+        if language not in _LANGUAGE_TO_ID:
             raise ValueError(f"Unsupported language: {language}")
         emotion = emotion if emotion is not None else list(DEFAULT_EMOTION)
         vqscore_8 = vqscore_8 if vqscore_8 is not None else [0.78] * 8
 
-        with tracing.phase("phonemize"):
-            phonemes = phonemize([text], [language])
-            phoneme_ids, _ = tokenize_phonemes(phonemes)
+        if _phoneme_ids is not None:
+            phoneme_ids = _phoneme_ids
+        else:
+            with tracing.phase("phonemize"):
+                phonemes = phonemize([text], [language])
+                phoneme_ids, _ = tokenize_phonemes(phonemes)
 
         cond: dict[str, Any] = {
             "espeak": jnp.asarray(phoneme_ids, jnp.int32),
@@ -203,13 +208,15 @@ class ZonosPipeline:
             languages = [languages] * len(texts)
         if len(texts) != len(languages):
             raise ValueError("texts and languages length mismatch")
+        languages = [lang.lower() for lang in languages]
         for lang in languages:
-            if lang.lower() not in _LANGUAGE_TO_ID:
+            if lang not in _LANGUAGE_TO_ID:
                 raise ValueError(f"Unsupported language: {lang}")
         phonemes = phonemize(texts, languages)
         phoneme_ids, _ = tokenize_phonemes(phonemes)
         base = self.make_cond_dict(
-            text=texts[0], language=languages[0], speaker=speaker, **kwargs
+            text=texts[0], language=languages[0], speaker=speaker,
+            _phoneme_ids=[phoneme_ids[0]], **kwargs
         )
         base["espeak"] = jnp.asarray(phoneme_ids, jnp.int32)
         if "language_id" in base:

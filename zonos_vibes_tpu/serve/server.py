@@ -166,7 +166,9 @@ class TTSServer:
         self.max_retries = max_retries
         self.queue: "queue.Queue[_Request]" = queue.Queue()
         self.metrics = Metrics()
-        self._spk_cache: dict[str, Any] = {}
+        from collections import OrderedDict
+
+        self._spk_cache: "OrderedDict[tuple, Any]" = OrderedDict()
         self._spk_lock = threading.Lock()
         self._req_counter = 0
         self._stop = threading.Event()
@@ -174,15 +176,20 @@ class TTSServer:
 
     # -- speaker cache (reference server.py:38-57) --------------------------
 
+    SPK_CACHE_MAX = 256  # LRU bound: one [1,1,128] array per entry
+
     def _speaker_embedding(self, path: str, model: str = "default"):
         key = (model, path)
         with self._spk_lock:
             if key in self._spk_cache:
+                self._spk_cache.move_to_end(key)
                 return self._spk_cache[key]
         wav, sr = read_wav(path)
         emb = self.pipelines[model].make_speaker_embedding(wav, sr)
         with self._spk_lock:
             self._spk_cache[key] = emb
+            while len(self._spk_cache) > self.SPK_CACHE_MAX:
+                self._spk_cache.popitem(last=False)
         return emb
 
     # -- request processing (single-owner worker) ---------------------------
@@ -253,9 +260,12 @@ class TTSServer:
             "seed": int(p.get("seed", self.seed)),
             # Batching compatibility key: requests in one decode call must
             # share model / uncond pattern / speaker presence / sampling /
-            # cfg.
+            # cfg. An EXPLICIT seed also isolates the group — the batch
+            # shares one PRNG key, so reproducibility only holds when the
+            # seeded request decodes alone (or with same-seed peers).
             "group": (model, uncond, speaker is not None, sampling,
-                      float(p.get("cfg_scale", 2.0))),
+                      float(p.get("cfg_scale", 2.0)),
+                      int(p["seed"]) if "seed" in p else None),
         }
 
     @staticmethod
@@ -334,26 +344,38 @@ class TTSServer:
         :func:`enable_persistent_compilation_cache` so restarts reuse the
         compiled programs from disk. Returns the number of combos run."""
         if combos is None:
-            combos = [(1, self._cond_bucket(1), self._bucket(1), True)]
+            # Match the DEFAULT request: mnt 86*30 -> bucket 2580, typical
+            # sentence -> cond bucket 64, with + without a speaker path.
+            combos = [(1, 64, self._bucket(86 * 30), True),
+                      (1, 64, self._bucket(86 * 30), False)]
         uncond = tuple(sorted(DEFAULT_UNCONDITIONAL))
-        for batch, cond_len, mnt, with_speaker in combos:
-            speaker = None
-            if with_speaker:
-                speaker = jnp.zeros(
-                    self.pipeline.speaker_shape(), jnp.bfloat16
-                )
-            conds = [
-                self.pipeline.make_cond_dict(
-                    text="warm", speaker=speaker, unconditional_keys=uncond
-                )
-                for _ in range(batch)
-            ]
-            cond = self.pipeline.merge_cond_dicts(conds, pad_len=cond_len)
-            self.pipeline.generate(
-                cond, key=jax.random.key(0), cfg_scale=2.0,
-                max_new_tokens=mnt, sampling_params=DEFAULT_SAMPLING,
+        n = 0
+        for pipe in self.pipelines.values():
+            has_speaker = any(
+                sp.name == "speaker"
+                for sp in pipe.model.prefix_conditioner.specs
             )
-        return len(combos)
+            for batch, cond_len, mnt, with_speaker in combos:
+                if with_speaker and not has_speaker:
+                    continue
+                speaker = (
+                    jnp.zeros(pipe.speaker_shape(), jnp.bfloat16)
+                    if with_speaker else None
+                )
+                conds = [
+                    pipe.make_cond_dict(
+                        text="warm", speaker=speaker,
+                        unconditional_keys=uncond,
+                    )
+                    for _ in range(batch)
+                ]
+                cond = pipe.merge_cond_dicts(conds, pad_len=cond_len)
+                pipe.generate(
+                    cond, key=jax.random.key(0), cfg_scale=2.0,
+                    max_new_tokens=mnt, sampling_params=DEFAULT_SAMPLING,
+                )
+                n += 1
+        return n
 
     def _process_stream(self, req: _Request, r: dict) -> None:
         """Streaming request: vocode incrementally and feed PCM chunks to
@@ -500,6 +522,11 @@ class TTSServer:
 
     def make_handler(server_self):
         class Handler(BaseHTTPRequestHandler):
+            # Chunked transfer (streaming /tts) is only defined for
+            # HTTP/1.1; the BaseHTTPRequestHandler default is 1.0, under
+            # which conforming clients would read chunk framing as PCM.
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, fmt, *args):  # quiet
                 pass
 
@@ -558,7 +585,13 @@ class TTSServer:
                 stops consumption (the reference callback's return-False
                 abort, model.py:306-307)."""
                 timeout = server_self.request_timeout_s + 5
-                first = req.stream_q.get(timeout=timeout)
+                try:
+                    first = req.stream_q.get(timeout=timeout)
+                except queue.Empty:
+                    req.cancelled.set()  # never generate for a dead client
+                    self._send(504, "application/json",
+                               b'{"error":"Deadline exceeded"}')
+                    return
                 if isinstance(first, tuple) and first and first[0] == "error":
                     self._send(*first[1])
                     return
@@ -578,7 +611,7 @@ class TTSServer:
                             self._send_chunk(item)
                         item = req.stream_q.get(timeout=timeout)
                     self.wfile.write(b"0\r\n\r\n")
-                except (BrokenPipeError, ConnectionResetError):
+                except (BrokenPipeError, ConnectionResetError, queue.Empty):
                     req.cancelled.set()  # stop the worker's decode
 
             def do_POST(self):
