@@ -32,6 +32,7 @@ INDEX_HTML = """<!doctype html>
 <fieldset><legend>Text</legend>
   <textarea id="text" rows="3" maxlength="500">Zonos uses eSpeak for text to phoneme conversion, and a DAC autoencoder.</textarea>
   <label>Language <select id="language"></select></label>
+  <label>Model <select id="model"><option value="default" selected>default</option></select></label>
   <label>Speaker wav path <input id="speaker" size="38" placeholder="/path/to/speaker.wav"></input></label>
 </fieldset>
 <fieldset><legend>Conditioning</legend>
@@ -85,17 +86,28 @@ const KNOB_TO_COND = {fmax: "fmax", pitch_std: "pitch_std",
                       speaking_rate: "speaking_rate", dnsmos_ovrl: "dnsmos_ovrl",
                       vq_single: "vqscore_8"};
 fetch("/model-info").then(r => r.json()).then(info => {
+  // Model selector (reference dropdown, gradio_interface.py:206-217).
+  const msel = document.getElementById("model");
+  msel.innerHTML = "";
+  (info.models || ["default"]).forEach(m => {
+    const o = document.createElement("option");
+    o.value = o.text = m; if (m === "default") o.selected = true; msel.add(o);
+  });
+  const byModel = info.conditioners_by_model || {"default": info.conditioners};
+  msel.onchange = () => applyVisibility(new Set(byModel[msel.value] || []));
   const have = new Set(info.conditioners);
+  applyVisibility(have);
+}).catch(() => {});
+function applyVisibility(have) {
   for (const [knob, cond] of Object.entries(KNOB_TO_COND)) {
     const el = document.getElementById(knob);
-    if (el && !have.has(cond)) el.parentElement.style.display = "none";
+    if (el) el.parentElement.style.display = have.has(cond) ? "" : "none";
   }
-  if (!have.has("speaker_noised"))
-    document.getElementById("speaker_noised").parentElement.style.display = "none";
-  if (!have.has("emotion")) {
-    document.getElementById("emotions").parentElement.style.display = "none";
-  }
-}).catch(() => {});
+  document.getElementById("speaker_noised").parentElement.style.display =
+    have.has("speaker_noised") ? "" : "none";
+  document.getElementById("emotions").parentElement.style.display =
+    have.has("emotion") ? "" : "none";
+}
 SAMPLING.forEach(s => slider(document.getElementById("sampling"), ...s));
 EMOTIONS.forEach((e, i) => slider(document.getElementById("emotions"), "emo_" + e, 0, 1, EMO_DEFAULT[i], 0.01));
 const val = id => parseFloat(document.getElementById(id).value);
@@ -107,6 +119,7 @@ async function generate() {
   if (document.getElementById("uncond_emotion").checked) uncond.push("emotion");
   uncond.push("vqscore_8", "dnsmos_ovrl");
   const payload = {
+    model: document.getElementById("model").value,
     text: document.getElementById("text").value,
     language: document.getElementById("language").value,
     speaker_audio_path: document.getElementById("speaker").value || null,
