@@ -64,6 +64,10 @@ class ZonosPipeline:
         self.engine = DecodeEngine(self.model)
         self._decode_jit = jax.jit(self.dac.model.decode)
         self._encode_jit = jax.jit(self.dac.model.encode)
+        # Jitted per cond-dict structure/shape (the server buckets phoneme
+        # lengths, so this compiles a handful of variants); unjitted this
+        # ran tens of eager dispatches per request on remote-TPU setups.
+        self._prepare_jit = jax.jit(self.model.prepare_conditioning)
 
     # -- constructors -------------------------------------------------------
 
@@ -268,7 +272,7 @@ class ZonosPipeline:
         return out
 
     def prepare_conditioning(self, cond_dict: dict, uncond_dict: dict | None = None):
-        return self.model.prepare_conditioning(self.params, cond_dict, uncond_dict)
+        return self._prepare_jit(self.params, cond_dict, uncond_dict)
 
     # -- generation ---------------------------------------------------------
 
