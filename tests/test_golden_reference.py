@@ -1,37 +1,109 @@
 """Golden-parity vs the PyTorch reference (SURVEY.md §4, BASELINE north
 star: waveform-allclose).
 
-Runs only when ``ZVT_GOLDEN_DIR`` points at a directory produced by
-``tools/capture_reference.py`` on a reference-capable machine, containing
-the captured stage tensors PLUS the checkpoint pair (config.json +
-model.safetensors). Skipped otherwise (this environment has no checkpoint
-egress).
+Capture sources, in priority order:
+
+1. ``ZVT_GOLDEN_DIR`` — a directory produced by
+   ``tools/capture_reference.py`` (real-checkpoint captures from a
+   reference-capable machine, or a pre-built random-init capture).
+2. **Auto-capture**: when the reference repo is on disk
+   (``ZVT_REFERENCE_DIR``, default ``/root/reference``), the reference's
+   own PyTorch code is run once per tool version with seeded random
+   weights (``--random-init``; CPU, fully offline) and the capture is
+   cached under the system temp dir. This makes reference parity part of
+   the normal suite: conditioning, the greedy decode loop (CFG mix, delay
+   pattern, EOS bias, masked_scatter fill) and DAC vocoding are checked
+   against the reference *implementation*, not our reimplementation of it.
+
+Skipped only when neither source is available.
 """
 
+import hashlib
 import json
 import os
+import subprocess
+import sys
+import tempfile
 
 import numpy as np
 import pytest
 
-GOLDEN = os.environ.get("ZVT_GOLDEN_DIR")
+_REFERENCE = os.environ.get("ZVT_REFERENCE_DIR", "/root/reference")
+_TOOL = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "tools",
+                 "capture_reference.py")
+)
+
+
+def _auto_capture() -> str | None:
+    """Run the reference (random-init, offline) once; cache per tool hash."""
+    if not os.path.isdir(os.path.join(_REFERENCE, "zonos")):
+        return None
+    if not os.path.exists(_TOOL):
+        return None
+    with open(_TOOL, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"zvt-golden-{tag}")
+    marker = os.path.join(out, ".complete")
+    if not os.path.exists(marker):
+        r = subprocess.run(
+            [sys.executable, _TOOL, "--reference", _REFERENCE,
+             "--random-init", "--out", out],
+            capture_output=True, text=True, timeout=900,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        if r.returncode != 0:
+            return None
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+GOLDEN = os.environ.get("ZVT_GOLDEN_DIR") or _auto_capture()
 
 pytestmark = pytest.mark.skipif(
     not GOLDEN or not os.path.isdir(GOLDEN),
-    reason="ZVT_GOLDEN_DIR with reference captures + checkpoint not set",
+    reason="no golden captures: ZVT_GOLDEN_DIR unset and no reference repo "
+           "for auto-capture",
 )
 
 
 @pytest.fixture(scope="module")
 def pipe():
+    import dataclasses
+
     import jax.numpy as jnp
 
     from zonos_vibes_tpu.pipeline import ZonosPipeline
+
+    kwargs = {}
+    dac_path = os.path.join(GOLDEN, "dac_model.safetensors")
+    if os.path.exists(dac_path):
+        # Captures from --random-init mode ship the DAC weights the
+        # reference run actually used; load them for waveform parity.
+        import safetensors.numpy
+
+        from zonos_vibes_tpu.models.autoencoder import DACAutoencoder
+        from zonos_vibes_tpu.models.dac import DACConfig
+        from zonos_vibes_tpu.utils.checkpoint import convert_dac_state_dict
+
+        with open(os.path.join(GOLDEN, "dac_config.json")) as f:
+            dc = json.load(f)
+        fields = {f.name for f in dataclasses.fields(DACConfig)}
+        cfg = DACConfig(**{
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in dc.items() if k in fields
+        })
+        dac = DACAutoencoder(cfg)
+        sd = safetensors.numpy.load_file(dac_path)
+        kwargs["dac"] = dac
+        kwargs["dac_params"] = convert_dac_state_dict(sd, cfg, jnp.float32)
 
     return ZonosPipeline.from_local(
         os.path.join(GOLDEN, "config.json"),
         os.path.join(GOLDEN, "model.safetensors"),
         dtype=jnp.float32,  # parity runs want fp32 + highest matmul precision
+        **kwargs,
     )
 
 
@@ -43,6 +115,8 @@ def test_phoneme_parity(pipe):
         pytest.skip("espeak not installed — phoneme parity needs the C tier")
     with open(os.path.join(GOLDEN, "phonemes.json")) as f:
         ref = json.load(f)
+    if ref.get("fake_backend"):
+        pytest.skip("capture used the random-init fake phonemizer")
     ours = phonemize([ref["text"]], [ref["language"]])
     assert ours[0] == ref["phonemes"][0]
     ids, _ = tokenize_phonemes(ours)
@@ -78,8 +152,10 @@ def test_greedy_codes_parity(pipe):
     ours = np.asarray(res.codes)[..., :steps]
     agree = (ours == d["codes"]).mean()
     # Greedy decode is argmax-chained: tiny numeric diffs can flip late
-    # steps, but early steps must match exactly.
-    np.testing.assert_array_equal(ours[..., :8], d["codes"][..., :8])
+    # steps, but early steps must match exactly. (Random-init fp32 captures
+    # measure 1.0 here, including the final-8-column masked_scatter shift —
+    # engine/generate.py::_masked_scatter_frame.)
+    np.testing.assert_array_equal(ours[..., :16], d["codes"][..., :16])
     assert agree > 0.9, f"greedy code agreement {agree:.3f}"
 
 

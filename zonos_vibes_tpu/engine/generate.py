@@ -53,6 +53,23 @@ def _find_multiple(n: int, k: int) -> int:
     return n if n % k == 0 else n + k - (n % k)
 
 
+def _masked_scatter_frame(
+    frame: jnp.ndarray, next_token: jnp.ndarray
+) -> jnp.ndarray:
+    """Fill UNKNOWN slots of ``frame [B, K]`` from ``next_token [B, K]`` with
+    torch ``masked_scatter_`` semantics (model.py:260,296-297): masked slots
+    take source elements in FLATTENED order, not elementwise. In the last
+    K-1 delayed columns codebook 0's slot is MASK-padded (not UNKNOWN), so
+    the reference really does write codebook k's prediction into slot k+1
+    there — an elementwise ``where`` diverges from the reference on the
+    final 8 frames of a max-length generation (verified against a
+    random-init reference capture, tools/capture_reference.py)."""
+    unknown = frame == UNKNOWN_TOKEN
+    src_idx = jnp.cumsum(unknown.astype(jnp.int32), axis=1) - unknown
+    gathered = jnp.take_along_axis(next_token, src_idx, axis=1)
+    return jnp.where(unknown, gathered, frame)
+
+
 @dataclass(frozen=True)
 class GenerateResult:
     codes: jnp.ndarray  # [B, K, audio_seq_len] int32, invalid tail zero-filled
@@ -127,7 +144,7 @@ def _prefill_state(
 
     offset0 = lp + 1
     frame = delayed[..., offset0]
-    frame = jnp.where(frame == UNKNOWN_TOKEN, next_token, frame)
+    frame = _masked_scatter_frame(frame, next_token)
     delayed = delayed.at[..., offset0].set(frame)
 
     max_steps = delayed.shape[-1] - offset0
@@ -217,7 +234,7 @@ def _decode_loop(
         next_token = jnp.where(stopping[:, None], cascade, next_token)
 
         frame = jax.lax.dynamic_slice_in_dim(delayed, offset, 1, axis=2)[..., 0]
-        frame = jnp.where(frame == UNKNOWN_TOKEN, next_token, frame)
+        frame = _masked_scatter_frame(frame, next_token)
         delayed = jax.lax.dynamic_update_slice_in_dim(
             delayed, frame[..., None], offset, axis=2
         )
