@@ -159,6 +159,42 @@ def test_greedy_codes_parity(pipe):
     assert agree > 0.9, f"greedy code agreement {agree:.3f}"
 
 
+def test_speaker_tower_parity():
+    """Our SimAM-ResNet+ASP+LDA (BN-folded at conversion) vs the reference's
+    own speaker_cloning.py classes run with the same random weights."""
+    path = os.path.join(GOLDEN, "speaker_golden.npz")
+    if not os.path.exists(path):
+        pytest.skip("capture has no speaker stage")
+    import jax.numpy as jnp
+    import safetensors.numpy
+
+    from zonos_vibes_tpu.models.speaker import (
+        SpeakerEncoder,
+        convert_speaker_state_dict,
+    )
+
+    with open(os.path.join(GOLDEN, "speaker_config.json")) as f:
+        cfg = json.load(f)
+    enc = SpeakerEncoder(
+        in_planes=cfg["in_planes"], embd_dim=cfg["embd_dim"],
+        acoustic_dim=cfg["acoustic_dim"], lda_dim=cfg["lda_dim"],
+        depths=tuple(cfg["depths"]),
+    )
+    sd = safetensors.numpy.load_file(
+        os.path.join(GOLDEN, "speaker_model.safetensors")
+    )
+    lda_sd = safetensors.numpy.load_file(
+        os.path.join(GOLDEN, "speaker_lda.safetensors")
+    )
+    params = convert_speaker_state_dict(
+        sd, lda_sd, depths=tuple(cfg["depths"])
+    )
+    d = np.load(path)
+    emb, lda = enc.embed_with_lda(params, jnp.asarray(d["fbank"]))
+    np.testing.assert_allclose(np.asarray(emb), d["emb"], rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(lda), d["lda"], rtol=2e-3, atol=2e-4)
+
+
 def test_waveform_parity(pipe):
     import jax.numpy as jnp
 

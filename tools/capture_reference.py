@@ -273,6 +273,67 @@ def capture_random_init(args) -> None:
 
     capture_stages(model, args.out, args.text, args.language, args.steps,
                    fake_phonemes=True)
+    capture_speaker_tower(args)
+
+
+# Shrunken speaker tower (reference speaker_cloning.py:153-224 structure:
+# SimAM ResNet -> ASP -> bottleneck, plus the LDA head): same code, smaller
+# width/depths so the CPU run is fast. The mel frontend needs torchaudio, so
+# the capture feeds precomputed log-fbank features (featCal=Identity) — our
+# side enters at the same point (SpeakerEncoder.embed_with_lda).
+RANDOM_INIT_SPEAKER_CONFIG = {
+    "in_planes": 8,
+    "embd_dim": 32,
+    "acoustic_dim": 80,
+    "lda_dim": 16,
+    "depths": [2, 2, 2, 2],
+}
+
+
+def capture_speaker_tower(args) -> None:
+    import numpy as np
+    import torch
+    from safetensors.torch import save_file
+
+    import zonos.speaker_cloning as zsc
+
+    cfg = RANDOM_INIT_SPEAKER_CONFIG
+    torch.manual_seed(args.seed + 2)
+
+    orig = zsc.ResNet293
+    zsc.ResNet293 = lambda in_planes, **kw: zsc.ResNet(
+        in_planes, zsc.SimAMBasicBlock, list(cfg["depths"]), **kw
+    )
+    try:
+        tower = zsc.ResNet293_based(
+            in_planes=cfg["in_planes"], embd_dim=cfg["embd_dim"],
+            acoustic_dim=cfg["acoustic_dim"], featCal=torch.nn.Identity(),
+        ).eval()
+    finally:
+        zsc.ResNet293 = orig
+    tower.requires_grad_(False)
+    # Randomize BN running stats — fresh BNs are (0, 1), which would make
+    # conversion-time BN folding trivially correct.
+    for m in tower.modules():
+        if isinstance(m, torch.nn.modules.batchnorm._BatchNorm):
+            m.running_mean.uniform_(-0.5, 0.5)
+            m.running_var.uniform_(0.5, 2.0)
+    lda = torch.nn.Linear(cfg["embd_dim"], cfg["lda_dim"]).eval()
+    lda.requires_grad_(False)
+
+    fbank = torch.randn(1, cfg["acoustic_dim"], 50) * 2.0  # log-mel scale
+    with torch.inference_mode():
+        emb = tower(fbank).float()
+        lda_emb = lda(emb)
+
+    save_file({k: v.contiguous() for k, v in tower.state_dict().items()},
+              os.path.join(args.out, "speaker_model.safetensors"))
+    save_file({k: v.contiguous() for k, v in lda.state_dict().items()},
+              os.path.join(args.out, "speaker_lda.safetensors"))
+    with open(os.path.join(args.out, "speaker_config.json"), "w") as f:
+        json.dump(cfg, f)
+    np.savez(os.path.join(args.out, "speaker_golden.npz"),
+             fbank=fbank.numpy(), emb=emb.numpy(), lda=lda_emb.numpy())
 
 
 def capture_checkpoint(args) -> None:
