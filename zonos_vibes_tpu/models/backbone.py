@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from ..config import BackboneConfig
 from ..ops.attention import (
-    decode_attention_auto,
+    decode_attention_layered_auto,
     prefill_attention_auto,
     update_kv_cache,
 )
@@ -85,20 +85,14 @@ def _block(
     layer_params: dict,
     cfg: BackboneConfig,
     x: jnp.ndarray,
-    k_cache: jnp.ndarray,
-    v_cache: jnp.ndarray,
-    offset: jnp.ndarray,
+    attend,
     positions: jnp.ndarray,
     table: jnp.ndarray,
-    is_decode: bool,
 ):
-    """One transformer block; returns ``(x_out, k_new, v_new)``.
-
-    ``k_new/v_new`` are the freshly written cache COLUMNS ``[B, Hkv, Dh, S]``
-    (not the whole slab) — the caller owns the canonical cache write. The
-    attention here still sees the updated slab: the column is spliced into a
-    slab temp, which XLA updates in place because the dynamic-sliced slab
-    has no other consumer."""
+    """One transformer block; attention is delegated to ``attend(q, k, v)``
+    which returns ``(y [B,S,Hq,Dh], k_col, v_col [B,Hkv,Dh,S])`` — the
+    freshly produced cache COLUMNS (the caller owns the canonical cache
+    write)."""
     B, S, D = x.shape
     Hq, Hkv, Dh = cfg.num_heads, cfg.num_heads_kv, cfg.head_dim
 
@@ -114,11 +108,7 @@ def _block(
     q = apply_rope(q, positions, table)
     k = apply_rope(k, positions, table)
 
-    k_cache, v_cache = update_kv_cache(k_cache, v_cache, k, v, offset)
-    if is_decode:
-        y = decode_attention_auto(q, k_cache, v_cache, seq_end=offset + S)
-    else:
-        y = prefill_attention_auto(q, k_cache, v_cache, offset, S)
+    y, k_new, v_new = attend(q, k, v)
     y = proj_matmul(y.reshape(B, S, Hq * Dh), layer_params["out_proj"])
     x = x + y
 
@@ -127,8 +117,6 @@ def _block(
         cfg.norm_epsilon,
     )
     x = x + swiglu_p(h, layer_params["fc1"], layer_params["fc2"])
-    k_new = k.astype(k_cache.dtype).transpose(0, 2, 3, 1)  # [B, Hkv, Dh, S]
-    v_new = v.astype(v_cache.dtype).transpose(0, 2, 3, 1)
     return x, k_new, v_new
 
 
@@ -166,17 +154,35 @@ def transformer_forward(
     # through scan forces XLA to (a) materialize per-layer slab reads/writes
     # and (b) copy the ENTIRE stacked ys cache into the enclosing while-loop
     # carry every decode step (~0.8 ms/step at cache len 2560, measured via
-    # xprof — two 170 MB copies). Instead the scan closes over the caches,
-    # dynamic-slices the layer slab (read-only), emits just the new columns
-    # as ys, and ONE small dynamic_update_slice per step writes all layers'
-    # columns back — which XLA performs in place on the while carry.
+    # xprof — two 170 MB copies). Instead the scan closes over the caches
+    # read-only, emits just the new columns as ys, and ONE small
+    # dynamic_update_slice per step writes all layers' columns back — which
+    # XLA performs in place on the while carry. On the decode path the
+    # layer-indexed Pallas kernel reads the full stacked cache directly
+    # (scalar-prefetched layer index), so not even a slab is materialized.
+    cdtype = cache["k"].dtype
+
     def scan_body(carry, layer_params):
         h, l = carry
-        kc = jax.lax.dynamic_index_in_dim(cache["k"], l, 0, keepdims=False)
-        vc = jax.lax.dynamic_index_in_dim(cache["v"], l, 0, keepdims=False)
-        h, k_new, v_new = _block(
-            layer_params, cfg, h, kc, vc, offset, positions, rope, is_decode
-        )
+        if is_decode:
+            def attend(q, k, v):
+                k_col = k.astype(cdtype).transpose(0, 2, 3, 1)
+                v_col = v.astype(cdtype).transpose(0, 2, 3, 1)
+                y = decode_attention_layered_auto(
+                    q, cache["k"], cache["v"], k_col, v_col, offset, l
+                )
+                return y, k_col, v_col
+        else:
+            def attend(q, k, v):
+                kc = jax.lax.dynamic_index_in_dim(cache["k"], l, 0, keepdims=False)
+                vc = jax.lax.dynamic_index_in_dim(cache["v"], l, 0, keepdims=False)
+                kc, vc = update_kv_cache(kc, vc, k, v, offset)
+                y = prefill_attention_auto(q, kc, vc, offset, k.shape[1])
+                k_col = k.astype(cdtype).transpose(0, 2, 3, 1)
+                v_col = v.astype(cdtype).transpose(0, 2, 3, 1)
+                return y, k_col, v_col
+
+        h, k_new, v_new = _block(layer_params, cfg, h, attend, positions, rope)
         return (h, l + 1), (k_new, v_new)
 
     (hidden, _), (k_cols, v_cols) = jax.lax.scan(

@@ -188,6 +188,47 @@ def _pallas_decode_eligible(q, k_cache) -> bool:
     return ok if _PALLAS_DECODE == "auto" else True
 
 
+def decode_attention_layered_auto(
+    q: jnp.ndarray,  # [B, 1, Hq, D]
+    k_cache: jnp.ndarray,  # [L, B, Hkv, D, T] full stacked cache, READ-ONLY
+    v_cache: jnp.ndarray,  # [L, B, Hkv, D, T]
+    k_cur: jnp.ndarray,  # [B, Hkv, D, 1] current token's column (not in cache)
+    v_cur: jnp.ndarray,  # [B, Hkv, D, 1]
+    prefix_end: jnp.ndarray,  # scalar int32 valid prefix length (excl. cur)
+    layer: jnp.ndarray,  # scalar int32
+) -> jnp.ndarray:
+    """Decode attention against the FULL stacked cache, layer picked by a
+    traced index. On TPU this lowers to the layer-indexed Pallas kernel
+    (scalar-prefetched layer => no per-layer slab materialization; the
+    current token folds into the online-softmax epilogue). The XLA fallback
+    reproduces the slab path: dynamic-slice the layer, splice the current
+    column, dense attention over the valid prefix."""
+    B, S, Hq, D = q.shape
+    L, _, Hkv, _, T = k_cache.shape
+    ok = (
+        _PALLAS_DECODE != "0"
+        and S == 1
+        and Hq % Hkv == 0
+        and D % 8 == 0
+        and T % _PALLAS_BLOCK == 0
+        and (jax.default_backend() == "tpu" or _PALLAS_DECODE == "1")
+    )
+    if ok:
+        from .pallas.decode_attention import decode_attention_pallas_layered
+
+        return decode_attention_pallas_layered(
+            q, k_cache, v_cache, k_cur, v_cur, prefix_end, layer,
+            block=_PALLAS_BLOCK,
+        )
+    kc = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
+    vc = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
+    zero = jnp.zeros((), jnp.int32)
+    idx = (zero, zero, zero, jnp.asarray(prefix_end, jnp.int32))
+    kc = jax.lax.dynamic_update_slice(kc, k_cur.astype(kc.dtype), idx)
+    vc = jax.lax.dynamic_update_slice(vc, v_cur.astype(vc.dtype), idx)
+    return decode_attention(q, kc, vc, prefix_end + 1)
+
+
 def decode_attention_auto(
     q: jnp.ndarray,
     k_cache: jnp.ndarray,

@@ -113,6 +113,170 @@ def _kernel(
         out_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(out_ref.dtype)
 
 
+def _kernel_layered(
+    scalars_ref,  # SMEM [2]: (prefix_end, layer)
+    q_ref,  # VMEM [1, Hq, D]
+    k_ref,  # VMEM [1, 1, Hkv*D, BLOCK]
+    v_ref,  # VMEM [1, 1, Hkv*D, BLOCK]
+    kc_ref,  # VMEM [1, 1, Hkv*D]  current token's key column
+    vc_ref,  # VMEM [1, 1, Hkv*D]  current token's value column
+    out_ref,  # VMEM [1, Hq, D]
+    acc_ref,  # VMEM [Hq, D] f32
+    m_ref,  # VMEM [Hq, 128] f32
+    l_ref,  # VMEM [Hq, 128] f32
+    *,
+    block: int,
+    scale: float,
+    n_kv_heads: int,
+    head_dim: int,
+):
+    """Layer-indexed flash-decode: same recurrence as :func:`_kernel`, but
+
+    * the KV operands are blocks of the FULL stacked ``[L, B, Hkv*D, T]``
+      cache, with the layer picked by the scalar-prefetched index — the
+      caller never materializes a per-layer slab (saves a slab-sized
+      read+write per layer per step when the backbone scan closes over the
+      whole cache);
+    * the CURRENT token's k/v column arrives as a separate tiny operand and
+      is folded into the online softmax in the epilogue, so the cache stays
+      read-only here (``prefix_end`` EXCLUDES the current token; handles
+      ``prefix_end == 0``).
+    """
+    t = pl.program_id(1)
+    seq_end = scalars_ref[0]
+    nblocks = pl.cdiv(seq_end, block)
+    Hq = q_ref.shape[1]
+    G = Hq // n_kv_heads
+    D = head_dim
+
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (Hq, n_kv_heads * D), 0) // G
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (Hq, n_kv_heads * D), 1) // D
+    diag = row_head == col_head  # [Hq, Hkv*D]
+    q_full = jnp.tile(q_ref[0].astype(jnp.float32) * scale, (1, n_kv_heads))
+    q_diag = jnp.where(diag, q_full, 0.0)
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(t < nblocks)
+    def _():
+        k = k_ref[0, 0].astype(jnp.float32)  # [Hkv*D, BLOCK]
+        v = v_ref[0, 0].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            q_diag, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Hq, BLOCK]
+        pos = t * block + jax.lax.broadcasted_iota(jnp.int32, (Hq, block), 1)
+        scores = jnp.where(pos < seq_end, scores, NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_ref[:, :1] = m_new
+        pv = jax.lax.dot_general(
+            p, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        pvm = jnp.where(diag, pv, 0.0)
+        own = pvm[:, :D]
+        for h in range(1, n_kv_heads):
+            own = own + pvm[:, h * D : (h + 1) * D]
+        acc_ref[:] = acc_ref[:] * alpha + own
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _():
+        # Fold the current token (always attended; delay-pattern decode
+        # attends to positions [0, prefix_end] inclusive of itself).
+        kc = kc_ref[0, 0].astype(jnp.float32)  # [Hkv*D]
+        vc = vc_ref[0, 0].astype(jnp.float32)
+        s_cur = jnp.sum(q_diag * kc[None, :], axis=-1, keepdims=True)  # [Hq,1]
+        m_prev = m_ref[:, :1]
+        m_fin = jnp.maximum(m_prev, s_cur)
+        alpha = jnp.exp(m_prev - m_fin)
+        p_cur = jnp.exp(s_cur - m_fin)
+        vm = jnp.where(diag, jnp.broadcast_to(vc[None, :], diag.shape), 0.0)
+        v_own = vm[:, :D]
+        for h in range(1, n_kv_heads):
+            v_own = v_own + vm[:, h * D : (h + 1) * D]
+        l_fin = l_ref[:, :1] * alpha + p_cur
+        acc = acc_ref[:] * alpha + p_cur * v_own
+        out_ref[0] = (acc / l_fin).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def decode_attention_pallas_layered(
+    q: jnp.ndarray,  # [B, 1, Hq, D]
+    k_cache: jnp.ndarray,  # [L, B, Hkv, D, T] (read-only; current col absent)
+    v_cache: jnp.ndarray,  # [L, B, Hkv, D, T]
+    k_cur: jnp.ndarray,  # [B, Hkv, D, 1]
+    v_cur: jnp.ndarray,  # [B, Hkv, D, 1]
+    prefix_end: jnp.ndarray,  # scalar int32: valid prefix length (excl. cur)
+    layer: jnp.ndarray,  # scalar int32 layer index
+    block: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, S, Hq, D = q.shape
+    assert S == 1
+    L, _, Hkv, _, T = k_cache.shape
+    block = min(block, T)
+    nt = pl.cdiv(T, block)
+    scale = 1.0 / (D ** 0.5)
+
+    qg = q.reshape(B, Hq, D)
+    kcv = k_cache.reshape(L, B, Hkv * D, T)
+    vcv = v_cache.reshape(L, B, Hkv * D, T)
+    kcur = k_cur.reshape(B, 1, Hkv * D)
+    vcur = v_cur.reshape(B, 1, Hkv * D)
+    scalars = jnp.stack(
+        [jnp.asarray(prefix_end, jnp.int32), jnp.asarray(layer, jnp.int32)]
+    )
+
+    def kv_index(b, t, sc_ref):
+        last = jax.lax.max(pl.cdiv(sc_ref[0], block) - 1, 0)
+        return (sc_ref[1], b, 0, jax.lax.min(t, last))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec(
+                (1, Hq, D), lambda b, t, sc: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 1, Hkv * D, block), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hkv * D, block), kv_index, memory_space=pltpu.VMEM),
+            # [B, 1, Hkv*D] so the block's last two dims (1, Hkv*D) equal
+            # the array dims (Mosaic's sub-8 second-minor dim constraint).
+            pl.BlockSpec((1, 1, Hkv * D), lambda b, t, sc: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hkv * D), lambda b, t, sc: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Hq, D), lambda b, t, sc: (b, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Hq, D), jnp.float32),
+            pltpu.VMEM((Hq, 128), jnp.float32),
+            pltpu.VMEM((Hq, 128), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_layered, block=block, scale=scale,
+            n_kv_heads=Hkv, head_dim=D,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(scalars, qg, kcv, vcv, kcur, vcur)
+    return out.reshape(B, 1, Hq, D)
+
+
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
 def decode_attention_pallas(
     q: jnp.ndarray,  # [B, 1, Hq, D]
