@@ -70,3 +70,32 @@ def test_layered_matches_xla_reference(prefix_end, layer):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
     )
+
+
+def test_layered_single_block_unaligned_T():
+    """Short serving caches (T rounded to 8, not 512) run as ONE block whose
+    size equals T — the Mosaic-legal single-block case the dispatcher now
+    accepts instead of falling back to the slab path."""
+    from zonos_vibes_tpu.ops.pallas.decode_attention import (
+        decode_attention_pallas_layered,
+    )
+
+    rng = np.random.default_rng(5)
+    L, B, Hq, Hkv, D, T = 2, 3, 8, 2, 64, 176
+    q = jnp.asarray(rng.standard_normal((B, 1, Hq, D)).astype(np.float32))
+    kc = jnp.asarray(rng.standard_normal((L, B, Hkv, D, T)).astype(np.float32))
+    vc = jnp.asarray(rng.standard_normal((L, B, Hkv, D, T)).astype(np.float32))
+    k_cur = jnp.asarray(rng.standard_normal((B, Hkv, D, 1)).astype(np.float32))
+    v_cur = jnp.asarray(rng.standard_normal((B, Hkv, D, 1)).astype(np.float32))
+    prefix_end, layer = 111, 1
+
+    slab_k = kc[layer].at[:, :, :, prefix_end].set(k_cur[..., 0])
+    slab_v = vc[layer].at[:, :, :, prefix_end].set(v_cur[..., 0])
+    ref = decode_attention(q, slab_k, slab_v, jnp.int32(prefix_end + 1))
+    out = decode_attention_pallas_layered(
+        q, kc, vc, k_cur, v_cur, jnp.int32(prefix_end), jnp.int32(layer),
+        block=512, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )

@@ -28,6 +28,15 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 # Pallas flash-decode dispatch: "auto" (TPU + aligned shapes), "1", "0".
 _PALLAS_DECODE = os.environ.get("ZVT_PALLAS_DECODE", "auto")
 _PALLAS_BLOCK = 512
+def _decode_block_ok(T: int) -> bool:
+    """A cache length is kernel-eligible if it tiles into full blocks OR can
+    run as a SINGLE block (Mosaic allows any block whose last dim equals the
+    array dim, so short serving caches — rounded to 8, not 512 — still take
+    the kernel instead of the slab fallback). Cap the single block at 2 *
+    block so VMEM stays bounded."""
+    return T % _PALLAS_BLOCK == 0 or T <= 2 * _PALLAS_BLOCK
+
+
 # Pallas flash-prefill dispatch; only pays off for long chunks (audio-prefix
 # continuation) — short text prefills stay on the XLA dense path.
 _PALLAS_PREFILL = os.environ.get("ZVT_PALLAS_PREFILL", "auto")
@@ -182,7 +191,7 @@ def _pallas_decode_eligible(q, k_cache) -> bool:
         S == 1
         and Hq % Hkv == 0
         and D % 8 == 0
-        and T % _PALLAS_BLOCK == 0
+        and _decode_block_ok(T)
         and jax.default_backend() == "tpu"
     )
     return ok if _PALLAS_DECODE == "auto" else True
@@ -210,7 +219,7 @@ def decode_attention_layered_auto(
         and S == 1
         and Hq % Hkv == 0
         and D % 8 == 0
-        and T % _PALLAS_BLOCK == 0
+        and _decode_block_ok(T)
         and (jax.default_backend() == "tpu" or _PALLAS_DECODE == "1")
     )
     if ok:

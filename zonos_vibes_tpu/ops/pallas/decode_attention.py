@@ -224,6 +224,8 @@ def decode_attention_pallas_layered(
     assert S == 1
     L, _, Hkv, _, T = k_cache.shape
     block = min(block, T)
+    if T % block:
+        block = T  # single block == array dim (always a legal Mosaic block)
     nt = pl.cdiv(T, block)
     scale = 1.0 / (D ** 0.5)
 
@@ -290,6 +292,8 @@ def decode_attention_pallas(
     assert S == 1
     _, Hkv, _, T = k_cache.shape
     block = min(block, T)
+    if T % block:
+        block = T  # single block == array dim (always a legal Mosaic block)
     nt = pl.cdiv(T, block)
     scale = 1.0 / (D ** 0.5)
 
