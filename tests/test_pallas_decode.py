@@ -40,32 +40,51 @@ def test_bf16_inputs():
     )
 
 
-@pytest.mark.parametrize("prefix_end", [0, 1, 60, 128, 200])
+def _staged_ref(q, kc, vc, ks, vs, k_cur, v_cur, flushed_end, stage_len, layer):
+    """Dense reference: splice stage window + current column into the slab.
+    Stage is the flat kernel layout ``[L, B, STAGE, Hkv*D]``."""
+    _, B, Hkv, D, _ = kc.shape
+    slab_k, slab_v = np.array(kc[layer]), np.array(vc[layer])
+    ks_r = np.asarray(ks[layer]).reshape(B, -1, Hkv, D)
+    vs_r = np.asarray(vs[layer]).reshape(B, -1, Hkv, D)
+    for s in range(stage_len):
+        slab_k[:, :, :, flushed_end + s] = ks_r[:, s]
+        slab_v[:, :, :, flushed_end + s] = vs_r[:, s]
+    cur = flushed_end + stage_len
+    slab_k[:, :, :, cur] = np.asarray(k_cur[..., 0])
+    slab_v[:, :, :, cur] = np.asarray(v_cur[..., 0])
+    return decode_attention(
+        q, jnp.asarray(slab_k), jnp.asarray(slab_v), jnp.int32(cur + 1)
+    )
+
+
+def _rand_staged(rng, L, B, Hq, Hkv, D, T, STAGE=16):
+    f = lambda *sh: jnp.asarray(rng.standard_normal(sh).astype(np.float32))
+    return (
+        f(B, 1, Hq, D), f(L, B, Hkv, D, T), f(L, B, Hkv, D, T),
+        f(L, B, STAGE, Hkv * D), f(L, B, STAGE, Hkv * D),
+        f(B, Hkv, D, 1), f(B, Hkv, D, 1),
+    )
+
+
+@pytest.mark.parametrize("flushed_end,stage_len", [(0, 0), (1, 0), (60, 5),
+                                                   (128, 15), (200, 9)])
 @pytest.mark.parametrize("layer", [0, 2])
-def test_layered_matches_xla_reference(prefix_end, layer):
-    """Layer-indexed kernel (full stacked cache + separate current column)
-    vs the XLA slab reference with the column spliced in."""
+def test_layered_matches_xla_reference(flushed_end, stage_len, layer):
+    """Layer-indexed kernel (full stacked cache + time-major stage tail +
+    separate current column) vs the dense slab reference."""
     from zonos_vibes_tpu.ops.pallas.decode_attention import (
         decode_attention_pallas_layered,
     )
 
     rng = np.random.default_rng(2)
     L, B, Hq, Hkv, D, T = 3, 2, 8, 2, 64, 256
-    q = jnp.asarray(rng.standard_normal((B, 1, Hq, D)).astype(np.float32))
-    kc = jnp.asarray(rng.standard_normal((L, B, Hkv, D, T)).astype(np.float32))
-    vc = jnp.asarray(rng.standard_normal((L, B, Hkv, D, T)).astype(np.float32))
-    k_cur = jnp.asarray(rng.standard_normal((B, Hkv, D, 1)).astype(np.float32))
-    v_cur = jnp.asarray(rng.standard_normal((B, Hkv, D, 1)).astype(np.float32))
-
-    # Reference: splice the current column at prefix_end, dense attention
-    # over the prefix INCLUDING the current token.
-    slab_k = kc[layer].at[:, :, :, prefix_end].set(k_cur[..., 0])
-    slab_v = vc[layer].at[:, :, :, prefix_end].set(v_cur[..., 0])
-    ref = decode_attention(q, slab_k, slab_v, jnp.int32(prefix_end + 1))
-
+    q, kc, vc, ks, vs, k_cur, v_cur = _rand_staged(rng, L, B, Hq, Hkv, D, T)
+    ref = _staged_ref(q, kc, vc, ks, vs, k_cur, v_cur, flushed_end,
+                      stage_len, layer)
     out = decode_attention_pallas_layered(
-        q, kc, vc, k_cur, v_cur, jnp.int32(prefix_end), jnp.int32(layer),
-        block=128, interpret=True,
+        q, kc, vc, ks, vs, k_cur, v_cur, jnp.int32(flushed_end),
+        jnp.int32(stage_len), jnp.int32(layer), block=128, interpret=True,
     )
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
@@ -82,19 +101,38 @@ def test_layered_single_block_unaligned_T():
 
     rng = np.random.default_rng(5)
     L, B, Hq, Hkv, D, T = 2, 3, 8, 2, 64, 176
-    q = jnp.asarray(rng.standard_normal((B, 1, Hq, D)).astype(np.float32))
-    kc = jnp.asarray(rng.standard_normal((L, B, Hkv, D, T)).astype(np.float32))
-    vc = jnp.asarray(rng.standard_normal((L, B, Hkv, D, T)).astype(np.float32))
-    k_cur = jnp.asarray(rng.standard_normal((B, Hkv, D, 1)).astype(np.float32))
-    v_cur = jnp.asarray(rng.standard_normal((B, Hkv, D, 1)).astype(np.float32))
-    prefix_end, layer = 111, 1
-
-    slab_k = kc[layer].at[:, :, :, prefix_end].set(k_cur[..., 0])
-    slab_v = vc[layer].at[:, :, :, prefix_end].set(v_cur[..., 0])
-    ref = decode_attention(q, slab_k, slab_v, jnp.int32(prefix_end + 1))
+    q, kc, vc, ks, vs, k_cur, v_cur = _rand_staged(rng, L, B, Hq, Hkv, D, T)
+    flushed_end, stage_len, layer = 104, 7, 1
+    ref = _staged_ref(q, kc, vc, ks, vs, k_cur, v_cur, flushed_end,
+                      stage_len, layer)
     out = decode_attention_pallas_layered(
-        q, kc, vc, k_cur, v_cur, jnp.int32(prefix_end), jnp.int32(layer),
-        block=512, interpret=True,
+        q, kc, vc, ks, vs, k_cur, v_cur, jnp.int32(flushed_end),
+        jnp.int32(stage_len), jnp.int32(layer), block=512, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_staged_fallback_matches_dense():
+    """The XLA fallback in decode_attention_layered_auto (CPU path) must
+    reproduce the same staged semantics, including a stage window spliced
+    near the END of the cache (pad-splice-trim, no index clamping)."""
+    from zonos_vibes_tpu.ops.attention import decode_attention_layered_auto
+
+    rng = np.random.default_rng(7)
+    L, B, Hq, Hkv, D, T = 2, 2, 8, 2, 64, 64
+    STAGE = 16
+    q, kc, vc, ks, vs, k_cur, v_cur = _rand_staged(
+        rng, L, B, Hq, Hkv, D, T, STAGE=STAGE
+    )
+    # flushed_end near the end: full-STAGE splice would overflow T=64.
+    flushed_end, stage_len, layer = 56, 4, 1
+    ref = _staged_ref(q, kc, vc, ks, vs, k_cur, v_cur, flushed_end,
+                      stage_len, layer)
+    out = decode_attention_layered_auto(
+        q, kc, vc, ks, vs, k_cur, v_cur, jnp.int32(flushed_end),
+        jnp.int32(stage_len), jnp.int32(layer),
     )
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4

@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ZonosConfig
+from ..models.backbone import flush_kv_stage
 from ..models.zonos import ZonosModel
 from ..ops.attention import NEG_INF
 from ..ops.delay_pattern import apply_delay_pattern, revert_delay_pattern
@@ -148,7 +149,7 @@ def _prefill_state(
     delayed = delayed.at[..., offset0].set(frame)
 
     max_steps = delayed.shape[-1] - offset0
-    return {
+    state = {
         "delayed": delayed,
         "cache": cache,
         "offset": jnp.int32(offset0),
@@ -159,6 +160,11 @@ def _prefill_state(
         "stop_offset": jnp.full((batch,), -1, jnp.int32),
         "key": key,
     }
+    if isinstance(cache, dict) and "k_stage" in cache:
+        # Staged KV decode (transformer backbone): fresh columns go to the
+        # time-major stage; flushed prefix ends exactly at the prefill.
+        state["stage_base"] = jnp.int32(cond_len + lp + 1)
+    return state
 
 
 def _decode_loop(
@@ -195,6 +201,9 @@ def _decode_loop(
             go &= (s["offset"] - start_offset) < step_limit
         return go
 
+    staged = "stage_base" in state
+    stage_depth = state["cache"]["k_stage"].shape[2] if staged else 0
+
     def body_fn(s):
         offset = s["offset"] + 1
         delayed = s["delayed"]
@@ -203,8 +212,10 @@ def _decode_loop(
         emb = jnp.concatenate([emb, emb], axis=0)  # CFG repeat (model.py:142)
         cache_off = offset - 1 + cond_len  # absolute cache position
         lengths = jnp.full((two_b,), cache_off, jnp.int32)
+        stage_base = s.get("stage_base")
         logits, cache = model.compute_logits(
-            params, emb, s["cache"], cache_off, lengths, cfg_scale, rope
+            params, emb, s["cache"], cache_off, lengths, cfg_scale, rope,
+            stage_base=stage_base,
         )
         logits = logits + logit_bias
 
@@ -239,7 +250,7 @@ def _decode_loop(
             delayed, frame[..., None], offset, axis=2
         )
 
-        return {
+        out = {
             "delayed": delayed,
             "cache": cache,
             "offset": offset,
@@ -248,8 +259,48 @@ def _decode_loop(
             "stop_offset": stop_offset,
             "key": key,
         }
+        if staged:
+            out["stage_base"] = s["stage_base"]
+        return out
 
-    return jax.lax.while_loop(cond_fn, body_fn, state)
+    if not staged:
+        return jax.lax.while_loop(cond_fn, body_fn, state)
+
+    # Staged KV decode runs in SEGMENTS of up to stage_depth steps: an inner
+    # while_loop (same early-exit semantics) bounded by the stage capacity,
+    # then ONE unconditional flush splices the segment's columns into the
+    # time-minor cache. A per-step `lax.cond` flush does NOT work: XLA
+    # executes both branches inside the decode while-loop (measured: the
+    # flush transpose + splice and a full-cache select ran every step),
+    # so the flush must sit structurally outside the stepping loop.
+    def inner_cond(t):
+        # Next body writes cache position t.offset + cond_len into stage
+        # slot (pos - stage_base); stop when the stage is full. The bound is
+        # ABSOLUTE (not per-segment), so mid-stage re-entry (streaming
+        # chunks) fills the same canonical [prefill_end + k*depth) windows
+        # and streamed decode stays bit-exact vs one-shot.
+        return cond_fn(t) & (
+            (t["offset"] + cond_len - t["stage_base"]) < stage_depth
+        )
+
+    def outer_body(s):
+        s = jax.lax.while_loop(inner_cond, body_fn, s)
+        # Flush ONLY an exactly-full stage (canonical boundaries). This
+        # lax.cond sits OUTSIDE the stepping loop: even if XLA executes
+        # both branches, the cost amortizes over stage_depth steps.
+        full = (s["offset"] + cond_len - s["stage_base"]) == stage_depth
+        cache = jax.lax.cond(
+            full,
+            lambda c: flush_kv_stage(c, s["stage_base"]),
+            lambda c: c,
+            s["cache"],
+        )
+        stage_base = jnp.where(
+            full, s["stage_base"] + stage_depth, s["stage_base"]
+        )
+        return {**s, "cache": cache, "stage_base": stage_base}
+
+    return jax.lax.while_loop(cond_fn, outer_body, state)
 
 
 def _finalize(model: ZonosModel, state: dict):

@@ -70,15 +70,57 @@ def init_transformer_backbone(
     }
 
 
+# Decode-tail stage depth: fresh K/V columns land in a small TIME-MAJOR
+# stage buffer (cheap aligned writes) and are spliced into the time-minor
+# cache once per STAGE steps — the strided per-step column splice into
+# ``[..., T]`` costs ~675 us x2 at batch 16 (tile read-modify-writes across
+# every (layer, batch, head) regardless of T), the staged write ~2 us.
+KV_STAGE = 128
+
+
 def allocate_kv_cache(
     cfg: BackboneConfig, batch_size: int, max_seqlen: int, dtype=jnp.bfloat16
 ) -> dict:
-    """Preallocated per-layer KV cache pytree ``[L, B, Hkv, Dh, T]``
-    (head-major, time-minor slabs for the Pallas decode kernel; the reference
-    allocates ``[B, T, 2, Hkv, Dh]`` per layer, _torch.py:97)."""
+    """Preallocated per-layer KV cache pytree: time-minor main slabs
+    ``[L, B, Hkv, Dh, T]`` (lane-aligned for the Pallas decode kernel; the
+    reference allocates ``[B, T, 2, Hkv, Dh]`` per layer, _torch.py:97)
+    plus the time-major decode stage ``[L, B, KV_STAGE, Hkv, Dh]``."""
     L = cfg.n_layer
     shape = (L, batch_size, cfg.num_heads_kv, cfg.head_dim, max_seqlen)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    # Clamp the stage depth to the cache length (tiny test configs) so a
+    # full-stage flush is always a legal splice. The stage stores heads
+    # FLATTENED ([..., Hkv*Dh]) — exactly the 2D view the Pallas kernel
+    # reads, so no reshape (= no layout copy) sits between the buffer and
+    # the kernel operand.
+    stage = min(KV_STAGE, max_seqlen)
+    sshape = (L, batch_size, stage, cfg.num_heads_kv * cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        "k_stage": jnp.zeros(sshape, dtype),
+        "v_stage": jnp.zeros(sshape, dtype),
+    }
+
+
+def flush_kv_stage(cache: dict, stage_base: jnp.ndarray) -> dict:
+    """Splice the full stage (time-major ``[L, B, STAGE, Hkv*Dh]``) into the
+    time-minor main cache at ``stage_base``. Called by the decode loop once
+    per segment of up to STAGE steps (amortizing the strided time-minor
+    write); slots beyond the filled prefix are stale but are either masked
+    by readers or overwritten by the next flush before ever being attended."""
+    zero = jnp.zeros((), jnp.int32)
+    idx = (zero, zero, zero, zero, jnp.asarray(stage_base, jnp.int32))
+    L, B, Hkv, Dh, _ = cache["k"].shape
+    STAGE = cache["k_stage"].shape[2]
+
+    def tm(stage):  # [L,B,STAGE,Hkv*Dh] -> [L,B,Hkv,Dh,STAGE]
+        return stage.reshape(L, B, STAGE, Hkv, Dh).transpose(0, 1, 3, 4, 2)
+
+    return {
+        **cache,
+        "k": jax.lax.dynamic_update_slice(cache["k"], tm(cache["k_stage"]), idx),
+        "v": jax.lax.dynamic_update_slice(cache["v"], tm(cache["v_stage"]), idx),
+    }
 
 
 def _block(
@@ -128,6 +170,7 @@ def transformer_forward(
     offset: jnp.ndarray,
     lengths_per_sample: jnp.ndarray,
     rope: jnp.ndarray | None = None,
+    stage_base: jnp.ndarray | None = None,
 ):
     """Run the layer stack on a chunk.
 
@@ -138,6 +181,11 @@ def transformer_forward(
       lengths_per_sample: ``[B]`` int32 per-row RoPE base positions
         (reference _torch.py:74-75 semantics: ``positions = arange(S) + lps``).
       rope: optional precomputed :func:`rope_table` (built on the fly if None).
+      stage_base: decode only — scalar int32 flushed-prefix length. When
+        given, fresh columns go to the time-major stage (slot ``offset -
+        stage_base``) and the CALLER owns flushing (:func:`flush_kv_stage`
+        once per KV_STAGE steps). When None, columns splice straight into
+        the time-minor cache (single-shot / compat path).
 
     Returns ``(hidden_out [B, S, D], new_cache)``.
     """
@@ -161,6 +209,24 @@ def transformer_forward(
     # layer-indexed Pallas kernel reads the full stacked cache directly
     # (scalar-prefetched layer index), so not even a slab is materialized.
     cdtype = cache["k"].dtype
+    L, B_c, Hkv_c, Dh_c = cache["k"].shape[:4]
+
+    if is_decode:
+        if stage_base is None:
+            # Compat/single-shot path: attend with an empty dummy stage and
+            # splice the column straight into the time-minor cache below.
+            flushed_end = jnp.asarray(offset, jnp.int32)
+            stage_len = jnp.zeros((), jnp.int32)
+            k_stage = cache.get("k_stage")
+            v_stage = cache.get("v_stage")
+            if k_stage is None:
+                k_stage = jnp.zeros((L, B_c, 8, Hkv_c * Dh_c), cdtype)
+                v_stage = k_stage
+        else:
+            flushed_end = jnp.asarray(stage_base, jnp.int32)
+            stage_len = jnp.asarray(offset, jnp.int32) - flushed_end
+            k_stage = cache["k_stage"]
+            v_stage = cache["v_stage"]
 
     def scan_body(carry, layer_params):
         h, l = carry
@@ -169,7 +235,8 @@ def transformer_forward(
                 k_col = k.astype(cdtype).transpose(0, 2, 3, 1)
                 v_col = v.astype(cdtype).transpose(0, 2, 3, 1)
                 y = decode_attention_layered_auto(
-                    q, cache["k"], cache["v"], k_col, v_col, offset, l
+                    q, cache["k"], cache["v"], k_stage, v_stage,
+                    k_col, v_col, flushed_end, stage_len, l,
                 )
                 return y, k_col, v_col
         else:
@@ -188,16 +255,34 @@ def transformer_forward(
     (hidden, _), (k_cols, v_cols) = jax.lax.scan(
         scan_body, (hidden, jnp.int32(0)), params["layers"]
     )
-    # k_cols/v_cols: [L, B, Hkv, Dh, S] — splice at time offset across layers.
+    # k_cols/v_cols: [L, B, Hkv, Dh, S].
     zero = jnp.zeros((), jnp.int32)
-    idx = (zero, zero, zero, zero, jnp.asarray(offset, jnp.int32))
-    new_k = jax.lax.dynamic_update_slice(cache["k"], k_cols, idx)
-    new_v = jax.lax.dynamic_update_slice(cache["v"], v_cols, idx)
+    new_cache = dict(cache)
+    if is_decode and stage_base is not None:
+        # Staged decode: the fresh columns land in the TIME-MAJOR stage at
+        # slot (offset - stage_base) — full (Hkv, Dh) planes, so the write
+        # is tile-aligned and cheap; the caller flushes once per KV_STAGE
+        # steps (flush_kv_stage).
+        Lc, Bc = k_cols.shape[0], k_cols.shape[1]
+        cols_k = k_cols.transpose(0, 1, 4, 2, 3).reshape(Lc, Bc, 1, -1)
+        cols_v = v_cols.transpose(0, 1, 4, 2, 3).reshape(Lc, Bc, 1, -1)
+        sidx = (zero, zero, stage_len, zero)
+        new_cache["k_stage"] = jax.lax.dynamic_update_slice(
+            cache["k_stage"], cols_k, sidx
+        )
+        new_cache["v_stage"] = jax.lax.dynamic_update_slice(
+            cache["v_stage"], cols_v, sidx
+        )
+    else:
+        # Prefill (or compat decode): splice at time offset across layers.
+        idx = (zero, zero, zero, zero, jnp.asarray(offset, jnp.int32))
+        new_cache["k"] = jax.lax.dynamic_update_slice(cache["k"], k_cols, idx)
+        new_cache["v"] = jax.lax.dynamic_update_slice(cache["v"], v_cols, idx)
     hidden = layer_norm(
         hidden, params["norm_f"]["weight"], params["norm_f"]["bias"],
         cfg.norm_epsilon,
     )
-    return hidden, {"k": new_k, "v": new_v}
+    return hidden, new_cache
 
 
 class TransformerBackbone:
@@ -217,7 +302,9 @@ class TransformerBackbone:
     def allocate_cache(self, batch: int, max_seqlen: int, dtype=jnp.bfloat16):
         return allocate_kv_cache(self.cfg, batch, max_seqlen, dtype)
 
-    def forward(self, params, hidden, cache, offset, lengths, rope=None):
+    def forward(self, params, hidden, cache, offset, lengths, rope=None,
+                stage_base=None):
         return transformer_forward(
-            params, self.cfg, hidden, cache, offset, lengths, rope
+            params, self.cfg, hidden, cache, offset, lengths, rope,
+            stage_base=stage_base,
         )

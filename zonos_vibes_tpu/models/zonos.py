@@ -98,9 +98,11 @@ class ZonosModel:
             preferred_element_type=jnp.float32,
         )
 
-    def backbone_forward(self, params, hidden, cache, offset, lengths, rope=None):
+    def backbone_forward(self, params, hidden, cache, offset, lengths, rope=None,
+                         stage_base=None):
+        kw = {} if stage_base is None else {"stage_base": stage_base}
         return self.backbone.forward(
-            params["backbone"], hidden, cache, offset, lengths, rope
+            params["backbone"], hidden, cache, offset, lengths, rope, **kw
         )
 
     def compute_logits(
@@ -112,12 +114,13 @@ class ZonosModel:
         lengths: jnp.ndarray,
         cfg_scale: float,
         rope=None,
+        stage_base=None,
     ):
         """Backbone -> last position -> heads -> CFG mix -> pad mask.
         (model.py:103-116). ``hidden`` is the CFG-doubled ``[2B, S, D]``
         batch; returns ``([B, K, V] logits, new_cache)``."""
         out, new_cache = self.backbone_forward(
-            params, hidden, cache, offset, lengths, rope
+            params, hidden, cache, offset, lengths, rope, stage_base=stage_base
         )
         last = out[:, -1:, :]
         logits = self.apply_heads(params, last)[:, :, 0, :]  # [2B, K, V]

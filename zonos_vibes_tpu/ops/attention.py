@@ -199,19 +199,23 @@ def _pallas_decode_eligible(q, k_cache) -> bool:
 
 def decode_attention_layered_auto(
     q: jnp.ndarray,  # [B, 1, Hq, D]
-    k_cache: jnp.ndarray,  # [L, B, Hkv, D, T] full stacked cache, READ-ONLY
+    k_cache: jnp.ndarray,  # [L, B, Hkv, D, T] flushed prefix, READ-ONLY
     v_cache: jnp.ndarray,  # [L, B, Hkv, D, T]
-    k_cur: jnp.ndarray,  # [B, Hkv, D, 1] current token's column (not in cache)
+    k_stage: jnp.ndarray,  # [L, B, STAGE, Hkv*D] time-major unflushed tail
+    v_stage: jnp.ndarray,  # [L, B, STAGE, Hkv*D]
+    k_cur: jnp.ndarray,  # [B, Hkv, D, 1] current token's column
     v_cur: jnp.ndarray,  # [B, Hkv, D, 1]
-    prefix_end: jnp.ndarray,  # scalar int32 valid prefix length (excl. cur)
+    flushed_end: jnp.ndarray,  # scalar int32: flushed prefix length
+    stage_len: jnp.ndarray,  # scalar int32: valid stage rows (excl. cur)
     layer: jnp.ndarray,  # scalar int32
 ) -> jnp.ndarray:
-    """Decode attention against the FULL stacked cache, layer picked by a
-    traced index. On TPU this lowers to the layer-indexed Pallas kernel
-    (scalar-prefetched layer => no per-layer slab materialization; the
-    current token folds into the online-softmax epilogue). The XLA fallback
-    reproduces the slab path: dynamic-slice the layer, splice the current
-    column, dense attention over the valid prefix."""
+    """Decode attention over (flushed cache prefix) + (time-major stage
+    tail) + (current token), layer picked by a traced index. On TPU this is
+    the layer-indexed Pallas kernel (scalar-prefetched layer => no per-layer
+    slab materialization; stage and current token fold into the
+    online-softmax epilogue). The XLA fallback reproduces the semantics on
+    a materialized slab: splice the stage window and the current column,
+    dense attention over the combined valid prefix."""
     B, S, Hq, D = q.shape
     L, _, Hkv, _, T = k_cache.shape
     ok = (
@@ -226,16 +230,39 @@ def decode_attention_layered_auto(
         from .pallas.decode_attention import decode_attention_pallas_layered
 
         return decode_attention_pallas_layered(
-            q, k_cache, v_cache, k_cur, v_cur, prefix_end, layer,
-            block=_PALLAS_BLOCK,
+            q, k_cache, v_cache, k_stage, v_stage, k_cur, v_cur,
+            flushed_end, stage_len, layer, block=_PALLAS_BLOCK,
         )
     kc = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
     vc = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
     zero = jnp.zeros((), jnp.int32)
-    idx = (zero, zero, zero, jnp.asarray(prefix_end, jnp.int32))
+    fe = jnp.asarray(flushed_end, jnp.int32)
+    STAGE = k_stage.shape[2]
+    # Stage window: [B, STAGE, Hkv, D] -> [B, Hkv, D, STAGE] spliced at
+    # flushed_end; rows beyond stage_len are stale but masked out below.
+    # Pad T by STAGE first so the full-window splice near the cache end
+    # cannot clamp (dynamic_update_slice clamps start indices, which would
+    # corrupt valid positions), then trim back.
+    pad = [(0, 0)] * 3 + [(0, STAGE)]
+    kc = jnp.pad(kc, pad)
+    vc = jnp.pad(vc, pad)
+    B_, Hkv_, D_ = q.shape[0], k_cache.shape[2], k_cache.shape[3]
+    ks = jax.lax.dynamic_index_in_dim(k_stage, layer, 0, keepdims=False)
+    vs = jax.lax.dynamic_index_in_dim(v_stage, layer, 0, keepdims=False)
+    ks = ks.reshape(B_, STAGE, Hkv_, D_)
+    vs = vs.reshape(B_, STAGE, Hkv_, D_)
+    kc = jax.lax.dynamic_update_slice(
+        kc, ks.transpose(0, 2, 3, 1).astype(kc.dtype), (zero, zero, zero, fe)
+    )
+    vc = jax.lax.dynamic_update_slice(
+        vc, vs.transpose(0, 2, 3, 1).astype(vc.dtype), (zero, zero, zero, fe)
+    )
+    cur_pos = fe + jnp.asarray(stage_len, jnp.int32)
+    idx = (zero, zero, zero, cur_pos)
     kc = jax.lax.dynamic_update_slice(kc, k_cur.astype(kc.dtype), idx)
     vc = jax.lax.dynamic_update_slice(vc, v_cur.astype(vc.dtype), idx)
-    return decode_attention(q, kc, vc, prefix_end + 1)
+    T_orig = k_cache.shape[4]
+    return decode_attention(q, kc[..., :T_orig], vc[..., :T_orig], cur_pos + 1)
 
 
 def decode_attention_auto(

@@ -114,10 +114,12 @@ def _kernel(
 
 
 def _kernel_layered(
-    scalars_ref,  # SMEM [2]: (prefix_end, layer)
+    scalars_ref,  # SMEM [3]: (flushed_end, stage_len, layer)
     q_ref,  # VMEM [1, Hq, D]
     k_ref,  # VMEM [1, 1, Hkv*D, BLOCK]
     v_ref,  # VMEM [1, 1, Hkv*D, BLOCK]
+    ks_ref,  # VMEM [1, 1, STAGE, Hkv*D]  time-major stage (unflushed tail)
+    vs_ref,  # VMEM [1, 1, STAGE, Hkv*D]
     kc_ref,  # VMEM [1, 1, Hkv*D]  current token's key column
     vc_ref,  # VMEM [1, 1, Hkv*D]  current token's value column
     out_ref,  # VMEM [1, Hq, D]
@@ -130,17 +132,21 @@ def _kernel_layered(
     n_kv_heads: int,
     head_dim: int,
 ):
-    """Layer-indexed flash-decode: same recurrence as :func:`_kernel`, but
+    """Layer-indexed flash-decode over a THREE-part key/value stream:
 
-    * the KV operands are blocks of the FULL stacked ``[L, B, Hkv*D, T]``
-      cache, with the layer picked by the scalar-prefetched index — the
-      caller never materializes a per-layer slab (saves a slab-sized
-      read+write per layer per step when the backbone scan closes over the
-      whole cache);
-    * the CURRENT token's k/v column arrives as a separate tiny operand and
-      is folded into the online softmax in the epilogue, so the cache stays
-      read-only here (``prefix_end`` EXCLUDES the current token; handles
-      ``prefix_end == 0``).
+    1. the flushed prefix ``[0, flushed_end)`` of the FULL stacked
+       ``[L, B, Hkv*D, T]`` cache (layer picked by the scalar-prefetched
+       index — no per-layer slab is ever materialized by the caller);
+    2. a small TIME-MAJOR stage ``[STAGE, Hkv*D]`` holding the most recent
+       ``stage_len`` tokens (cache positions ``[flushed_end, flushed_end +
+       stage_len)``) — time-major makes the per-step column write cheap
+       (the strided write into the time-minor cache is the expensive op
+       this design amortizes into one flush per STAGE steps);
+    3. the CURRENT token's k/v column.
+
+    The stage dots are oriented so Mosaic needs no large transposes: scores
+    come out ``[STAGE, Hq]`` via ``k_s @ q_diagT`` (q_diagT is built
+    transposed from the start) and fold back through ``p_sT^T @ v_s``.
     """
     t = pl.program_id(1)
     seq_end = scalars_ref[0]
@@ -190,32 +196,70 @@ def _kernel_layered(
 
     @pl.when(t == pl.num_programs(1) - 1)
     def _():
-        # Fold the current token (always attended; delay-pattern decode
-        # attends to positions [0, prefix_end] inclusive of itself).
+        stage_len = scalars_ref[1]
+        STAGE = ks_ref.shape[2]
+
+        # q_diagT [Hkv*D, Hq] built transposed from the start (only a tiny
+        # [Hq, D] -> [D, Hq] transpose), so both stage dots are in the
+        # MXU's native orientation.
+        qT = jnp.transpose(q_ref[0].astype(jnp.float32) * scale)  # [D, Hq]
+        qT_full = jnp.concatenate([qT] * n_kv_heads, axis=0)  # [Hkv*D, Hq]
+        # diag transposed, built from iotas (Mosaic cannot transpose i1).
+        rowT = jax.lax.broadcasted_iota(jnp.int32, (n_kv_heads * D, Hq), 0) // D
+        colT = jax.lax.broadcasted_iota(jnp.int32, (n_kv_heads * D, Hq), 1) // G
+        diagT = rowT == colT
+        qT_diag = jnp.where(diagT, qT_full, 0.0)
+
+        k_s = ks_ref[0, 0].astype(jnp.float32)  # [STAGE, Hkv*D]
+        v_s = vs_ref[0, 0].astype(jnp.float32)
+        scores_sT = jax.lax.dot_general(
+            k_s, qT_diag, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [STAGE, Hq]
+        srow = jax.lax.broadcasted_iota(jnp.int32, (STAGE, Hq), 0)
+        scores_sT = jnp.where(srow < stage_len, scores_sT, NEG_INF)
+
+        # Current token's scores, same [*, Hq] orientation (row 0).
         kc = kc_ref[0, 0].astype(jnp.float32)  # [Hkv*D]
         vc = vc_ref[0, 0].astype(jnp.float32)
-        s_cur = jnp.sum(q_diag * kc[None, :], axis=-1, keepdims=True)  # [Hq,1]
-        m_prev = m_ref[:, :1]
-        m_fin = jnp.maximum(m_prev, s_cur)
-        alpha = jnp.exp(m_prev - m_fin)
-        p_cur = jnp.exp(s_cur - m_fin)
+        s_curT = jnp.sum(qT_diag * kc[:, None], axis=0, keepdims=True)  # [1, Hq]
+
+        tail_max = jnp.maximum(jnp.max(scores_sT, axis=0, keepdims=True), s_curT)
+        m_prevT = jnp.transpose(m_ref[:, :1])  # [1, Hq]
+        m_finT = jnp.maximum(m_prevT, tail_max)
+        p_sT = jnp.exp(scores_sT - m_finT)  # [STAGE, Hq]
+        p_curT = jnp.exp(s_curT - m_finT)  # [1, Hq]
+        alphaT = jnp.exp(m_prevT - m_finT)  # [1, Hq]
+
+        pv_s = jax.lax.dot_general(
+            p_sT, v_s, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Hq, Hkv*D]
         vm = jnp.where(diag, jnp.broadcast_to(vc[None, :], diag.shape), 0.0)
-        v_own = vm[:, :D]
+        tail = jnp.where(diag, pv_s, 0.0) + jnp.transpose(p_curT) * vm
+        own = tail[:, :D]
         for h in range(1, n_kv_heads):
-            v_own = v_own + vm[:, h * D : (h + 1) * D]
-        l_fin = l_ref[:, :1] * alpha + p_cur
-        acc = acc_ref[:] * alpha + p_cur * v_own
+            own = own + tail[:, h * D : (h + 1) * D]
+
+        alpha = jnp.transpose(alphaT)  # [Hq, 1]
+        l_fin = l_ref[:, :1] * alpha + jnp.transpose(
+            jnp.sum(p_sT, axis=0, keepdims=True) + p_curT
+        )
+        acc = acc_ref[:] * alpha + own
         out_ref[0] = (acc / l_fin).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
 def decode_attention_pallas_layered(
     q: jnp.ndarray,  # [B, 1, Hq, D]
-    k_cache: jnp.ndarray,  # [L, B, Hkv, D, T] (read-only; current col absent)
+    k_cache: jnp.ndarray,  # [L, B, Hkv, D, T] (read-only flushed prefix)
     v_cache: jnp.ndarray,  # [L, B, Hkv, D, T]
+    k_stage: jnp.ndarray,  # [L, B, STAGE, Hkv*D] time-major unflushed tail
+    v_stage: jnp.ndarray,  # [L, B, STAGE, Hkv*D]
     k_cur: jnp.ndarray,  # [B, Hkv, D, 1]
     v_cur: jnp.ndarray,  # [B, Hkv, D, 1]
-    prefix_end: jnp.ndarray,  # scalar int32: valid prefix length (excl. cur)
+    flushed_end: jnp.ndarray,  # scalar int32: flushed prefix length
+    stage_len: jnp.ndarray,  # scalar int32: valid stage rows (excl. cur)
     layer: jnp.ndarray,  # scalar int32 layer index
     block: int = DEFAULT_BLOCK,
     interpret: bool = False,
@@ -223,6 +267,7 @@ def decode_attention_pallas_layered(
     B, S, Hq, D = q.shape
     assert S == 1
     L, _, Hkv, _, T = k_cache.shape
+    STAGE = k_stage.shape[2]
     block = min(block, T)
     if T % block:
         block = T  # single block == array dim (always a legal Mosaic block)
@@ -232,15 +277,24 @@ def decode_attention_pallas_layered(
     qg = q.reshape(B, Hq, D)
     kcv = k_cache.reshape(L, B, Hkv * D, T)
     vcv = v_cache.reshape(L, B, Hkv * D, T)
+    ksv = k_stage  # already [L, B, STAGE, Hkv*D] — no reshape, no layout copy
+    vsv = v_stage
     kcur = k_cur.reshape(B, 1, Hkv * D)
     vcur = v_cur.reshape(B, 1, Hkv * D)
     scalars = jnp.stack(
-        [jnp.asarray(prefix_end, jnp.int32), jnp.asarray(layer, jnp.int32)]
+        [
+            jnp.asarray(flushed_end, jnp.int32),
+            jnp.asarray(stage_len, jnp.int32),
+            jnp.asarray(layer, jnp.int32),
+        ]
     )
 
     def kv_index(b, t, sc_ref):
         last = jax.lax.max(pl.cdiv(sc_ref[0], block) - 1, 0)
-        return (sc_ref[1], b, 0, jax.lax.min(t, last))
+        return (sc_ref[2], b, 0, jax.lax.min(t, last))
+
+    def stage_index(b, t, sc_ref):
+        return (sc_ref[2], b, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -252,6 +306,8 @@ def decode_attention_pallas_layered(
             ),
             pl.BlockSpec((1, 1, Hkv * D, block), kv_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Hkv * D, block), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, STAGE, Hkv * D), stage_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, STAGE, Hkv * D), stage_index, memory_space=pltpu.VMEM),
             # [B, 1, Hkv*D] so the block's last two dims (1, Hkv*D) equal
             # the array dims (Mosaic's sub-8 second-minor dim constraint).
             pl.BlockSpec((1, 1, Hkv * D), lambda b, t, sc: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -275,7 +331,7 @@ def decode_attention_pallas_layered(
         out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(scalars, qg, kcv, vcv, kcur, vcur)
+    )(scalars, qg, kcv, vcv, ksv, vsv, kcur, vcur)
     return out.reshape(B, 1, Hq, D)
 
 

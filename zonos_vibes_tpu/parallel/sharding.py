@@ -134,10 +134,15 @@ def zonos_param_specs(params: dict) -> dict:
 
 
 def kv_cache_specs() -> dict:
-    """KV cache ``[L, B, Hkv, Dh, T]``: batch on data, kv heads on model."""
+    """KV cache ``[L, B, Hkv, Dh, T]`` (+ time-major decode stage
+    ``[L, B, STAGE, Hkv, Dh]``): batch on data, kv heads on model."""
     return {
         "k": P(None, DATA, MODEL, None, None),
         "v": P(None, DATA, MODEL, None, None),
+        # Stage [L, B, STAGE, Hkv*Dh]: the flattened head axis shards on
+        # model (contiguous chunks == whole heads when Hkv % n_model == 0).
+        "k_stage": P(None, DATA, None, MODEL),
+        "v_stage": P(None, DATA, None, MODEL),
     }
 
 

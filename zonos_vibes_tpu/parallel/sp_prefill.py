@@ -94,6 +94,7 @@ def sp_prefill_forward(
     v_slab = vs.transpose(0, 1, 3, 4, 2).astype(cache["v"].dtype)
     zero = (0, 0, 0, 0, 0)
     cache = {
+        **cache,  # preserve the decode-stage buffers (k_stage/v_stage)
         "k": jax.lax.dynamic_update_slice(cache["k"], k_slab, zero),
         "v": jax.lax.dynamic_update_slice(cache["v"], v_slab, zero),
     }

@@ -139,7 +139,7 @@ class TTSServer:
         pipeline,
         host: str = "0.0.0.0",
         port: int = 5000,
-        max_batch: int = 4,
+        max_batch: int = 8,
         batch_window_s: float = 0.05,
         request_timeout_s: float = 120.0,
         seed: int = DEFAULT_SEED,
@@ -666,7 +666,7 @@ def main() -> None:
     ap.add_argument("--hybrid-weights", default=None)
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=5000)
-    ap.add_argument("--max-batch", type=int, default=4)
+    ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--batch-window-ms", type=float, default=50.0)
     ap.add_argument("--warmup", action="store_true",
                     help="precompile default request shapes before serving")
