@@ -465,3 +465,38 @@ def test_explicit_seed_isolates_batch_group(pipe):
     g_s2 = srv._parse({**base, "seed": 2})["group"]
     assert g_none_a == g_none_b        # unseeded requests batch freely
     assert g_s1 != g_s2 != g_none_a    # explicit seeds isolate
+
+
+def test_server_prefix_audio_continuation(server, tmp_path_factory):
+    """Audio-prefix continuation through the HTTP surface (reference
+    gradio_interface.py:153-159,240-244: prefix wav -> DAC encode ->
+    continuation). Output must cover prefix + continuation frames."""
+    tmp = tmp_path_factory.mktemp("prefix")
+    pre_path = str(tmp / "prefix.wav")
+    sr = 44100
+    wav = (0.1 * np.sin(np.linspace(0, 440 * np.pi, sr // 5))).astype(np.float32)
+    with open(pre_path, "wb") as f:
+        f.write(wav_bytes(wav, sr))
+
+    status, ctype, body = _post(
+        "http://127.0.0.1:5099/tts",
+        {"text": "Continue the sound.", "emotion": [0.125] * 8,
+         "prefix_audio_path": pre_path, "max_new_tokens": 6},
+    )
+    assert status == 200, body[:200]
+    assert ctype == "audio/wav"
+    import io
+
+    with wave_mod.open(io.BytesIO(body)) as w:
+        # Prefix frames replayed + continuation: strictly more audio than a
+        # prefixless request of the same step count could produce.
+        assert w.getnframes() > 6 * server.pipeline.dac.hop
+    assert ("prefix", "default", pre_path) in server._spk_cache
+
+    # Unknown prefix path -> 404 (mirrors the speaker-path contract).
+    status, _, body = _post(
+        "http://127.0.0.1:5099/tts",
+        {"text": "x", "emotion": [0.125] * 8,
+         "prefix_audio_path": "/nonexistent/prefix.wav"},
+    )
+    assert status == 404

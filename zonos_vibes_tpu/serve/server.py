@@ -192,6 +192,28 @@ class TTSServer:
                 self._spk_cache.popitem(last=False)
         return emb
 
+    # -- audio-prefix cache (reference gradio_interface.py:153-159) ---------
+
+    PREFIX_CACHE_MAX = 64  # LRU bound: one [1, 9, Lp] int32 array per entry
+
+    def _prefix_codes(self, path: str, model: str = "default"):
+        """DAC-encode a server-side audio file for continuation. Cached by
+        (model, path) like the speaker cache; each distinct prefix LENGTH
+        compiles a fresh decode program (lengths are static shapes), so
+        callers should reuse a stable set of prefix files."""
+        key = ("prefix", model, path)
+        with self._spk_lock:
+            if key in self._spk_cache:
+                self._spk_cache.move_to_end(key)
+                return self._spk_cache[key]
+        wav, sr = read_wav(path)
+        codes = self.pipelines[model].encode_audio(wav, sr)
+        with self._spk_lock:
+            self._spk_cache[key] = codes
+            while len(self._spk_cache) > self.SPK_CACHE_MAX + self.PREFIX_CACHE_MAX:
+                self._spk_cache.popitem(last=False)
+        return codes
+
     # -- request processing (single-owner worker) ---------------------------
 
     def _parse(self, p: dict):
@@ -226,6 +248,16 @@ class TTSServer:
                 {"error": "Missing required field: speaker_audio_path"}
             ).encode()
 
+        prefix_path = p.get("prefix_audio_path")
+        prefix_codes = None
+        if prefix_path:
+            try:
+                prefix_codes = self._prefix_codes(prefix_path, model)
+            except FileNotFoundError:
+                return 404, "application/json", json.dumps(
+                    {"error": f"Prefix audio not found: {prefix_path}"}
+                ).encode()
+
         uncond = tuple(sorted(p.get("unconditional_keys", DEFAULT_UNCONDITIONAL)))
         cond_kwargs: dict = {
             "text": text,
@@ -258,14 +290,18 @@ class TTSServer:
             "stream": bool(p.get("stream", False)),
             "model": model,
             "seed": int(p.get("seed", self.seed)),
+            "prefix_codes": prefix_codes,
             # Batching compatibility key: requests in one decode call must
             # share model / uncond pattern / speaker presence / sampling /
             # cfg. An EXPLICIT seed also isolates the group — the batch
             # shares one PRNG key, so reproducibility only holds when the
             # seeded request decodes alone (or with same-seed peers).
+            # A prefix-audio path also keys the group: rows of one decode
+            # share the prefix shape, so only same-prefix requests batch.
             "group": (model, uncond, speaker is not None, sampling,
                       float(p.get("cfg_scale", 2.0)),
-                      int(p["seed"]) if "seed" in p else None),
+                      int(p["seed"]) if "seed" in p else None,
+                      prefix_path or None),
         }
 
     @staticmethod
@@ -301,9 +337,14 @@ class TTSServer:
         key = jax.random.fold_in(
             jax.random.key(parsed[0]["seed"]), self._req_counter
         )
+        prefix = parsed[0]["prefix_codes"]
+        if prefix is not None and len(reqs) > 1:
+            import jax.numpy as jnp
+
+            prefix = jnp.tile(prefix, (len(reqs), 1, 1))
         t0 = time.monotonic()
         result = pipe.generate(
-            cond, key=key, cfg_scale=parsed[0]["cfg_scale"],
+            cond, prefix, key=key, cfg_scale=parsed[0]["cfg_scale"],
             max_new_tokens=mnt, sampling_params=parsed[0]["sampling"],
         )
         wavs = pipe.decode_audio(result)  # [B, samples]
@@ -317,8 +358,10 @@ class TTSServer:
         hop = pipe.dac.hop
         audio_total = 0.0
         delivered_frames = []
+        prefix_frames = int(prefix.shape[-1]) if prefix is not None else 0
         for i, (req, r) in enumerate(zip(reqs, parsed)):
-            frames = min(valid_rows[i], r["max_new_tokens"])
+            # Valid frames cover replayed prefix + continuation.
+            frames = min(valid_rows[i], r["max_new_tokens"] + prefix_frames)
             delivered_frames.append(frames)
             wav = wavs[i, : frames * hop]
             audio_total += wav.shape[-1] / sr

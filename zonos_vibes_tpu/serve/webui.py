@@ -3,7 +3,7 @@ ships a Gradio app, gradio_interface.py:1-419; gradio isn't available here,
 and a dependency-free page serves the same control surface).
 
 Controls mirror the reference UI (gradio_interface.py:219-301): text (max
-500 chars), language, speaker audio (server-side path), 8 emotion sliders,
+500 chars), language, speaker audio + prefix audio (server-side paths), 8 emotion sliders,
 vq_single broadcast to 8, fmax, pitch_std, speaking_rate, dnsmos, speaker
 noised, CFG scale, seed + randomize, unified-sampler sliders (linear 0.5 /
 conf 0.40 / quad 0) and legacy top-p/top-k/min-p, unconditional-keys
@@ -34,6 +34,7 @@ INDEX_HTML = """<!doctype html>
   <label>Language <select id="language"></select></label>
   <label>Model <select id="model"><option value="default" selected>default</option></select></label>
   <label>Speaker wav path <input id="speaker" size="38" placeholder="/path/to/speaker.wav"></input></label>
+  <label>Prefix audio path <input id="prefix" size="38" placeholder="/path/to/prefix.wav (continuation)"></input></label>
 </fieldset>
 <fieldset><legend>Conditioning</legend>
   <div id="sliders"></div>
@@ -123,6 +124,7 @@ async function generate() {
     text: document.getElementById("text").value,
     language: document.getElementById("language").value,
     speaker_audio_path: document.getElementById("speaker").value || null,
+    prefix_audio_path: document.getElementById("prefix").value || null,
     emotion: EMOTIONS.map(e => val("emo_" + e)),
     vqscore_8: Array(8).fill(val("vq_single")),
     fmax: val("fmax"), pitch_std: val("pitch_std"),
