@@ -15,7 +15,7 @@ import sys
 import time
 
 CONFIGS = [
-    ("../bench", ["430", "int8"], ["54", "int8"]),  # headline, int8 weights
+    ("headline_int8", ["430", "int8"], ["54", "int8"]),  # bench.py, int8
     ("config1_sample_path", ["430"], ["54"]),
     ("config2_voice_clone", ["1290"], ["160"]),
     ("config3_prefix_continuation", ["860"], ["108"]),
@@ -28,7 +28,7 @@ def main():
     quick = "--quick" in sys.argv
     results = []
     for name, args, quick_args in CONFIGS:
-        script = "bench.py" if name == "../bench" else f"bench/{name}.py"
+        script = "bench.py" if name == "headline_int8" else f"bench/{name}.py"
         argv = [sys.executable, script] + (quick_args if quick else args)
         t0 = time.time()
         proc = subprocess.run(

@@ -93,3 +93,37 @@ def test_server_chunked_stream(pipe):  # noqa: F811
         assert exc_info.value.code == 400
     finally:
         srv.shutdown()
+
+
+def test_server_chunked_stream_with_prefix(pipe, tmp_path):  # noqa: F811
+    """stream=true must honor prefix_audio_path (the non-stream path does):
+    the streamed audio covers replayed prefix + continuation frames."""
+    from zonos_vibes_tpu.serve.server import wav_bytes
+
+    sr = 44100
+    wav = (0.1 * np.sin(np.linspace(0, 440 * np.pi, sr // 5))).astype(np.float32)
+    pre_path = str(tmp_path / "prefix.wav")
+    with open(pre_path, "wb") as f:
+        f.write(wav_bytes(wav, sr))
+
+    srv = TTSServer(pipe, host="127.0.0.1", port=5093, request_timeout_s=300)
+    srv.start_background()
+    try:
+        req = urllib.request.Request(
+            "http://127.0.0.1:5093/tts",
+            data=json.dumps({
+                "text": "Streaming a continuation.", "stream": True,
+                "max_new_tokens": 8, "prefix_audio_path": pre_path,
+                "emotion": [0.3, 0.03, 0.03, 0.03, 0.03, 0.03, 0.25, 0.3],
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            assert resp.status == 200
+            body = resp.read()
+        header = wav_stream_header(pipe.dac.sampling_rate)
+        pcm = np.frombuffer(body[len(header):], np.int16)
+        # More than max_new_tokens frames -> the prefix was replayed.
+        assert pcm.shape[0] > 8 * pipe.dac.hop
+    finally:
+        srv.shutdown()

@@ -188,7 +188,10 @@ class TTSServer:
         emb = self.pipelines[model].make_speaker_embedding(wav, sr)
         with self._spk_lock:
             self._spk_cache[key] = emb
-            while len(self._spk_cache) > self.SPK_CACHE_MAX:
+            # Shared LRU with the prefix-codes entries: both insertion paths
+            # must enforce the same combined bound, or one path evicts the
+            # other's entries far below its intended budget.
+            while len(self._spk_cache) > self.SPK_CACHE_MAX + self.PREFIX_CACHE_MAX:
                 self._spk_cache.popitem(last=False)
         return emb
 
@@ -339,8 +342,6 @@ class TTSServer:
         )
         prefix = parsed[0]["prefix_codes"]
         if prefix is not None and len(reqs) > 1:
-            import jax.numpy as jnp
-
             prefix = jnp.tile(prefix, (len(reqs), 1, 1))
         t0 = time.monotonic()
         result = pipe.generate(
@@ -436,11 +437,14 @@ class TTSServer:
                 jax.random.key(r["seed"]), self._req_counter
             )
             hop = pipe.dac.hop
-            budget = r["max_new_tokens"] * hop  # trim to the asked length
+            prefix = r["prefix_codes"]
+            prefix_frames = int(prefix.shape[-1]) if prefix is not None else 0
+            # Trim to the asked length (+ replayed prefix frames).
+            budget = (r["max_new_tokens"] + prefix_frames) * hop
             sent = 0
             t0 = time.monotonic()
             for chunk in pipe.generate_stream(
-                cond, key=key, cfg_scale=r["cfg_scale"],
+                cond, prefix, key=key, cfg_scale=r["cfg_scale"],
                 max_new_tokens=mnt, sampling_params=r["sampling"],
             ):
                 if req.cancelled.is_set():
