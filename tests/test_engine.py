@@ -188,3 +188,51 @@ def test_disable_eos_covers_first_frame():
     )
     assert int(res.valid_length) == 10
     assert (np.asarray(res.codes) != eos).all()
+
+
+def test_staged_flush_parity_vs_direct_splice():
+    """A generation long enough to cross MULTIPLE stage-flush boundaries
+    must emit exactly the codes of the direct-splice (compat) path — the
+    staged cache is a pure data-movement optimization. (Tiny CPU configs
+    clamp the stage to the cache length, so the regular suite rarely
+    flushes; this test forces >= 2 flushes by generating past 2x the
+    stage depth.)"""
+    model = ZonosModel(TINY)
+    params = model.init(jax.random.key(0), jnp.float32)  # CPU: no bf16 dots
+    engine = DecodeEngine(model)
+    phon = jnp.asarray([[2] + [7] * 10 + [3]])
+    cond = model.prepare_conditioning(params, {"espeak": phon})
+    kwargs = dict(
+        max_new_tokens=300, cfg_scale=2.0,
+        sampling_params=SamplingParams(min_p=0.1), disable_eos=True,
+    )
+
+    staged = engine.generate(params, cond, key=jax.random.key(5), **kwargs)
+    cache = model.backbone.allocate_cache(2, 512)
+    stage_depth = cache["k_stage"].shape[2]
+    assert 300 > 2 * stage_depth, "test must cross >= 2 flush boundaries"
+
+    # Compat path: drop the stage buffers so the engine splices directly.
+    # `model.backbone` is a per-access property, so patch at CLASS level;
+    # and use a distinct-but-equivalent model (explicit backbone_name) so
+    # jit retraces instead of reusing the cached staged program.
+    from zonos_vibes_tpu.models.backbone import TransformerBackbone
+
+    orig_alloc = TransformerBackbone.allocate_cache
+
+    def alloc_no_stage(self, batch, seqlen, dtype=jnp.bfloat16):
+        c = orig_alloc(self, batch, seqlen, dtype)
+        return {"k": c["k"], "v": c["v"]}
+
+    model2 = ZonosModel(TINY, backbone_name="transformer")
+    engine2 = DecodeEngine(model2)
+    TransformerBackbone.allocate_cache = alloc_no_stage
+    try:
+        direct = engine2.generate(params, cond, key=jax.random.key(5), **kwargs)
+    finally:
+        TransformerBackbone.allocate_cache = orig_alloc
+
+    np.testing.assert_array_equal(
+        np.asarray(staged.codes), np.asarray(direct.codes)
+    )
+    assert int(staged.valid_length) == int(direct.valid_length)
