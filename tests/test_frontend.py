@@ -108,3 +108,21 @@ def test_phonemize_deterministic():
     ids = get_symbol_ids(out1[0])
     known = sum(1 for i in ids if i != UNK_ID)
     assert known / len(ids) > 0.9
+
+
+def test_number_to_kanji_native():
+    """Native digits->kanji fallback (kanjize semantics, reference
+    conditioning.py:171-175) used when the optional JP stack is absent."""
+    from zonos_vibes_tpu.frontend.text import number_to_kanji, normalize_jp_text
+
+    cases = {
+        0: "〇", 1: "一", 10: "十", 11: "十一", 21: "二十一",
+        100: "百", 111: "百十一", 1000: "千", 2024: "二千二十四",
+        10000: "一万", 12345: "一万二千三百四十五",
+        100000000: "一億", 1000000000000: "一兆",
+        20300405: "二千三十万四百五",
+    }
+    for n, k in cases.items():
+        assert number_to_kanji(n) == k, (n, number_to_kanji(n), k)
+    # Full-width digits normalize via NFKC first, then convert.
+    assert "二千二十四" in normalize_jp_text("２０２４年です")

@@ -172,10 +172,44 @@ _JP_TOKENIZER = None
 _JP_AVAILABLE: bool | None = None
 
 
+_KANJI_DIGITS = "〇一二三四五六七八九"
+_KANJI_SMALL = ((1000, "千"), (100, "百"), (10, "十"))
+_KANJI_MYRIADS = ((10 ** 12, "兆"), (10 ** 8, "億"), (10 ** 4, "万"))
+
+
+def number_to_kanji(n: int) -> str:
+    """Native digits->kanji (kanjize.number2kanji semantics, reference
+    conditioning.py:171-175): positional myriad groups, with the customary
+    omitted 一 before 十/百/千 inside a group."""
+    if n == 0:
+        return _KANJI_DIGITS[0]
+    if n < 0:
+        return "マイナス" + number_to_kanji(-n)
+
+    def group(g: int) -> str:  # 1..9999
+        out = []
+        for unit, name in _KANJI_SMALL:
+            d, g = divmod(g, unit)
+            if d:
+                out.append(("" if d == 1 else _KANJI_DIGITS[d]) + name)
+        if g:
+            out.append(_KANJI_DIGITS[g])
+        return "".join(out)
+
+    parts = []
+    for unit, name in _KANJI_MYRIADS:
+        d, n = divmod(n, unit)
+        if d:
+            parts.append(group(d) + name)
+    if n:
+        parts.append(group(n))
+    return "".join(parts)
+
+
 def normalize_jp_text(text: str) -> str:
     """NFKC + digits->kanji + SudachiPy reading forms when the optional JP
-    stack is importable; NFKC-only fallback otherwise (environment-gated —
-    do NOT pip install)."""
+    stack is importable; NFKC + native digits->kanji fallback otherwise
+    (environment-gated — do NOT pip install)."""
     global _JP_TOKENIZER, _JP_AVAILABLE
     text = unicodedata.normalize("NFKC", text)
     if _JP_AVAILABLE is None:
@@ -188,7 +222,9 @@ def normalize_jp_text(text: str) -> str:
         except Exception:
             _JP_AVAILABLE = False
     if not _JP_AVAILABLE:
-        return text
+        # Reading-form tokenization needs the Sudachi dictionary, but the
+        # numeric expansion does not — keep that part of the contract.
+        return re.sub(r"\d+", lambda m: number_to_kanji(int(m[0])), text)
     from kanjize import number2kanji
     from sudachipy import SplitMode
 
