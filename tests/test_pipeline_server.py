@@ -8,6 +8,7 @@ parses with the stdlib ``wave`` module — but self-hosted, no LAN URL.
 import json
 import tempfile
 import threading
+import time
 import urllib.request
 import wave as wave_mod
 from pathlib import Path
@@ -227,16 +228,19 @@ def test_server_replay_and_healthz(pipe):
     srv = TTSServer(pipe, host="127.0.0.1", port=5097, request_timeout_s=300,
                     monitor=mon, max_retries=1)
 
-    real_generate = srv.pipeline.generate
+    # Inject the failure where the scheduler actually decodes: the
+    # engine's segment iterator (jobs advance one compiled segment per
+    # scheduler slice).
+    real_stream = srv.pipeline.engine.generate_stream
     calls = {"n": 0}
 
-    def flaky_generate(*a, **kw):
+    def flaky_stream(*a, **kw):
         calls["n"] += 1
         if calls["n"] == 1:
             raise RuntimeError("injected device failure")
-        return real_generate(*a, **kw)
+        return real_stream(*a, **kw)
 
-    srv.pipeline = _FlakyPipeline(pipe, flaky_generate)
+    srv.pipeline = _FlakyPipeline(pipe, flaky_stream)
     srv.pipelines["default"] = srv.pipeline
     srv.start_background()
     try:
@@ -261,15 +265,27 @@ def test_server_replay_and_healthz(pipe):
         srv.shutdown()
 
 
-class _FlakyPipeline:
-    """Pipeline proxy whose generate is injectable (failure simulation)."""
+class _FlakyEngine:
+    """Engine proxy whose generate_stream is injectable."""
 
-    def __init__(self, inner, generate):
+    def __init__(self, inner, stream):
         self._inner = inner
-        self._generate = generate
+        self._stream = stream
 
-    def generate(self, *a, **kw):
-        return self._generate(*a, **kw)
+    def generate_stream(self, *a, **kw):
+        return self._stream(*a, **kw)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+class _FlakyPipeline:
+    """Pipeline proxy whose engine segment iterator is injectable
+    (failure simulation at the scheduler's decode boundary)."""
+
+    def __init__(self, inner, stream):
+        self._inner = inner
+        self.engine = _FlakyEngine(inner.engine, stream)
 
     def __getattr__(self, name):
         return getattr(self._inner, name)
@@ -500,3 +516,45 @@ def test_server_prefix_audio_continuation(server, tmp_path_factory):
          "prefix_audio_path": "/nonexistent/prefix.wav"},
     )
     assert status == 404
+
+
+def test_segment_interleaving_no_head_of_line_blocking(pipe):
+    """A short request posted while a long generation is in flight must
+    complete long before the long one: the scheduler round-robins jobs one
+    compiled decode segment at a time (the reference — and a naive queue —
+    would serve the long request to completion first)."""
+    srv = TTSServer(pipe, host="127.0.0.1", port=5092,
+                    request_timeout_s=300, segment_steps=8)
+    srv.start_background()
+    done_at = {}
+
+    def post(name, mnt):
+        status, _, _ = _post(
+            "http://127.0.0.1:5092/tts",
+            {"text": f"{name} request.", "max_new_tokens": mnt,
+             "emotion": [0.3, 0.03, 0.03, 0.03, 0.03, 0.03, 0.25, 0.3],
+             # distinct explicit seeds keep them in separate decode groups
+             "seed": 1 if name == "long" else 2},
+        )
+        done_at[name] = time.monotonic()
+        assert status == 200
+
+    try:
+        # Warm both shapes so scheduling (not compiles) dominates timing.
+        post("long", 256)
+        post("short", 8)
+        done_at.clear()
+
+        t_long = threading.Thread(target=post, args=("long", 256))
+        t_long.start()
+        time.sleep(0.3)  # long job underway
+        t_short = threading.Thread(target=post, args=("short", 8))
+        t_short.start()
+        t_short.join(timeout=240)
+        t_long.join(timeout=240)
+        assert "short" in done_at and "long" in done_at
+        assert done_at["short"] < done_at["long"], (
+            "short request should finish while the long one is still decoding"
+        )
+    finally:
+        srv.shutdown()

@@ -146,6 +146,8 @@ class TTSServer:
         monitor=None,  # parallel.multihost.HeartbeatMonitor | None
         max_retries: int = 1,
         extra_pipelines: dict | None = None,
+        max_active_jobs: int = 4,
+        segment_steps: int = 129,  # ~1.5 s of audio per scheduling slice
     ):
         self.pipeline = pipeline
         # Multi-model serving (the reference gradio's model selector,
@@ -164,6 +166,8 @@ class TTSServer:
         # semantics — inference has no training state to restore).
         self.monitor = monitor
         self.max_retries = max_retries
+        self.max_active_jobs = max_active_jobs
+        self.segment_steps = segment_steps
         self.queue: "queue.Queue[_Request]" = queue.Queue()
         self.metrics = Metrics()
         from collections import OrderedDict
@@ -326,9 +330,12 @@ class TTSServer:
                 return b
         return n
 
-    def _process_group(self, reqs: list[_Request], parsed: list[dict]) -> None:
-        """One decode call for a compatible group (the reference serves one
-        request at a time, SURVEY.md §3.3 — batching is the DP win)."""
+    def _start_decode_job(self, reqs: list[_Request], parsed: list[dict]):
+        """Prepare a non-streaming group as a segment-advanceable job
+        (reference serves one request at a time AND to completion,
+        SURVEY.md §3.3; batching is the DP win, segment interleaving the
+        latency win — a 30 s generation no longer head-of-line-blocks
+        short requests for its full duration)."""
         pipe = self.pipelines[parsed[0]["model"]]
         conds = [pipe.make_cond_dict(**r["cond_kwargs"]) for r in parsed]
         pad_len = self._cond_bucket(
@@ -344,12 +351,24 @@ class TTSServer:
         if prefix is not None and len(reqs) > 1:
             prefix = jnp.tile(prefix, (len(reqs), 1, 1))
         t0 = time.monotonic()
-        result = pipe.generate(
-            cond, prefix, key=key, cfg_scale=parsed[0]["cfg_scale"],
-            max_new_tokens=mnt, sampling_params=parsed[0]["sampling"],
+        prefix_cond = pipe.prepare_conditioning(cond)
+        it = pipe.engine.generate_stream(
+            pipe.params, prefix_cond, prefix, key=key,
+            max_new_tokens=mnt, cfg_scale=parsed[0]["cfg_scale"],
+            sampling_params=parsed[0]["sampling"],
+            chunk_steps=self.segment_steps,
         )
+        return _DecodeJob(self, reqs, parsed, pipe, it, prefix,
+                          time.monotonic() - t0)
+
+    def _finish_decode_job(self, job: "_DecodeJob") -> None:
+        """Vocode the finished group and respond per row (per-row EOS
+        trim; valid frames cover replayed prefix + continuation)."""
+        pipe, reqs, parsed = job.pipe, job.reqs, job.parsed
+        t0 = time.monotonic()
+        result = job.result
         wavs = pipe.decode_audio(result)  # [B, samples]
-        compute_s = time.monotonic() - t0
+        job.compute_s += time.monotonic() - t0
         valid_rows = (
             [int(v) for v in result.valid_lengths]
             if result.valid_lengths is not None
@@ -359,9 +378,10 @@ class TTSServer:
         hop = pipe.dac.hop
         audio_total = 0.0
         delivered_frames = []
-        prefix_frames = int(prefix.shape[-1]) if prefix is not None else 0
+        prefix_frames = (
+            int(job.prefix.shape[-1]) if job.prefix is not None else 0
+        )
         for i, (req, r) in enumerate(zip(reqs, parsed)):
-            # Valid frames cover replayed prefix + continuation.
             frames = min(valid_rows[i], r["max_new_tokens"] + prefix_frames)
             delivered_frames.append(frames)
             wav = wavs[i, : frames * hop]
@@ -370,11 +390,12 @@ class TTSServer:
             req.done.set()
         with self.metrics.lock:
             self.metrics.audio_seconds_total += audio_total
-            self.metrics.compute_seconds_total += compute_s
+            self.metrics.compute_seconds_total += job.compute_s
             self.metrics.batched_requests += len(reqs) - 1 if len(reqs) > 1 else 0
+        tracing.add_counter("audio_seconds", audio_total)
         tracing.log_event(
             "tts_group_done", batch=len(reqs), frames=delivered_frames,
-            compute_s=round(compute_s, 3), audio_s=round(audio_total, 3),
+            compute_s=round(job.compute_s, 3), audio_s=round(audio_total, 3),
         )
 
     def warmup(self, combos: list[tuple] | None = None) -> int:
@@ -414,69 +435,57 @@ class TTSServer:
                     for _ in range(batch)
                 ]
                 cond = pipe.merge_cond_dicts(conds, pad_len=cond_len)
+                # Warm the SEGMENT path (prefill_jit + decode_segment_jit)
+                # — what the scheduler actually runs — by generating via
+                # the between-segments callback hook.
                 pipe.generate(
                     cond, key=jax.random.key(0), cfg_scale=2.0,
                     max_new_tokens=mnt, sampling_params=DEFAULT_SAMPLING,
+                    callback=lambda *a: True,
+                    callback_interval=self.segment_steps,
                 )
                 n += 1
         return n
 
-    def _process_stream(self, req: _Request, r: dict) -> None:
-        """Streaming request: vocode incrementally and feed PCM chunks to
-        the HTTP thread via the request's chunk queue. Runs solo (never
-        grouped) — the stream's pacing is the caller's playback clock."""
+    def _start_stream_job(self, req: _Request, r: dict) -> "_StreamJob":
+        """Streaming request as a job: each scheduler slice vocodes and
+        ships one chunk; pacing is the caller's playback clock."""
         assert req.stream_q is not None
-        try:
-            pipe = self.pipelines[r["model"]]
-            conds = [pipe.make_cond_dict(**r["cond_kwargs"])]
-            pad_len = self._cond_bucket(int(conds[0]["espeak"].shape[1]))
-            cond = pipe.merge_cond_dicts(conds, pad_len=pad_len)
-            mnt = self._bucket(r["max_new_tokens"])
-            self._req_counter += 1
-            key = jax.random.fold_in(
-                jax.random.key(r["seed"]), self._req_counter
-            )
-            hop = pipe.dac.hop
-            prefix = r["prefix_codes"]
-            prefix_frames = int(prefix.shape[-1]) if prefix is not None else 0
-            # Trim to the asked length (+ replayed prefix frames).
-            budget = (r["max_new_tokens"] + prefix_frames) * hop
-            sent = 0
-            t0 = time.monotonic()
-            for chunk in pipe.generate_stream(
-                cond, prefix, key=key, cfg_scale=r["cfg_scale"],
-                max_new_tokens=mnt, sampling_params=r["sampling"],
-            ):
-                if req.cancelled.is_set():
-                    break  # client went away — stop decoding
-                pcm = chunk[0]
-                take = min(budget - sent, pcm.shape[-1])
-                if take <= 0:
-                    break
-                data = (np.clip(pcm[:take], -1.0, 1.0) * 32767.0).astype(np.int16)
-                req.stream_q.put(data.tobytes())
-                sent += take
-            with self.metrics.lock:
-                self.metrics.audio_seconds_total += (
-                    sent / pipe.dac.sampling_rate
-                )
-                self.metrics.compute_seconds_total += time.monotonic() - t0
-        except Exception as e:  # noqa: BLE001 — boundary
-            with self.metrics.lock:
-                self.metrics.errors_total += 1
-            req.stream_q.put(("error", (500, "application/json",
-                              json.dumps({"error": f"TTS stream failed: {e}"}).encode())))
-        finally:
-            req.stream_q.put(None)
+        pipe = self.pipelines[r["model"]]
+        conds = [pipe.make_cond_dict(**r["cond_kwargs"])]
+        pad_len = self._cond_bucket(int(conds[0]["espeak"].shape[1]))
+        cond = pipe.merge_cond_dicts(conds, pad_len=pad_len)
+        mnt = self._bucket(r["max_new_tokens"])
+        self._req_counter += 1
+        key = jax.random.fold_in(
+            jax.random.key(r["seed"]), self._req_counter
+        )
+        hop = pipe.dac.hop
+        prefix = r["prefix_codes"]
+        prefix_frames = int(prefix.shape[-1]) if prefix is not None else 0
+        budget = (r["max_new_tokens"] + prefix_frames) * hop
+        gen = pipe.generate_stream(
+            cond, prefix, key=key, cfg_scale=r["cfg_scale"],
+            max_new_tokens=mnt, sampling_params=r["sampling"],
+        )
+        return _StreamJob(self, req, pipe, gen, budget)
 
-    def _drain_batch(self) -> list[_Request]:
-        """Block for the first request, then gather more for a short window
-        (up to max_batch) so concurrent callers share one decode."""
+    def _drain_batch(self, block: bool = True) -> list[_Request]:
+        """Gather up to max_batch queued requests. When ``block`` (worker
+        idle) wait for the first request then hold a short batching window;
+        when jobs are active, poll without delaying the scheduler."""
         try:
-            first = self.queue.get(timeout=0.2)
+            first = self.queue.get(timeout=0.2 if block else 0.0)
         except queue.Empty:
             return []
         batch = [first]
+        if not block:
+            while len(batch) < self.max_batch:
+                try:
+                    batch.append(self.queue.get_nowait())
+                except queue.Empty:
+                    break
+            return batch
         deadline = time.monotonic() + self.batch_window_s
         while len(batch) < self.max_batch:
             remaining = deadline - time.monotonic()
@@ -488,64 +497,99 @@ class TTSServer:
                 break
         return batch
 
-    def _worker_loop(self):
-        while not self._stop.is_set():
-            batch = self._drain_batch()
-            if not batch:
+    def _admit(self, jobs: list) -> None:
+        """Parse + group queued requests into new jobs (bounded by
+        max_active_jobs)."""
+        if len(jobs) >= self.max_active_jobs:
+            return
+        batch = self._drain_batch(block=not jobs)
+        if not batch:
+            return
+        with self.metrics.lock:
+            self.metrics.queue_depth = self.queue.qsize()
+
+        live: list[_Request] = []
+        parsed: list[dict] = []
+        for req in batch:
+            if time.monotonic() - req.enqueued_at > self.request_timeout_s:
+                req.response = (503, "application/json",
+                                json.dumps({"error": "Request timed out in queue"}).encode())
+                req.done.set()
                 continue
-            with self.metrics.lock:
-                self.metrics.queue_depth = self.queue.qsize()
-
-            live: list[_Request] = []
-            parsed: list[dict] = []
-            for req in batch:
-                if time.monotonic() - req.enqueued_at > self.request_timeout_s:
-                    req.response = (503, "application/json",
-                                    json.dumps({"error": "Request timed out in queue"}).encode())
-                    req.done.set()
-                    continue
-                try:
-                    out = self._parse(req.payload)
-                except Exception as e:  # noqa: BLE001 — boundary
-                    out = (500, "application/json",
-                           json.dumps({"error": f"Bad request: {e}"}).encode())
-                if isinstance(out, tuple):
-                    if req.stream_q is not None:
-                        req.stream_q.put(("error", out))
-                        req.stream_q.put(None)
-                    else:
-                        req.response = out
-                        req.done.set()
-                elif req.stream_q is not None:
-                    self._process_stream(req, out)
+            try:
+                out = self._parse(req.payload)
+            except Exception as e:  # noqa: BLE001 — boundary
+                out = (500, "application/json",
+                       json.dumps({"error": f"Bad request: {e}"}).encode())
+            if isinstance(out, tuple):
+                if req.stream_q is not None:
+                    req.stream_q.put(("error", out))
+                    req.stream_q.put(None)
                 else:
-                    live.append(req)
-                    parsed.append(out)
-
-            # Group compatible requests into shared decode calls.
-            groups: dict[tuple, list[int]] = {}
-            for i, r in enumerate(parsed):
-                groups.setdefault(r["group"], []).append(i)
-            for idxs in groups.values():
-                reqs_g = [live[i] for i in idxs]
-                parsed_g = [parsed[i] for i in idxs]
+                    req.response = out
+                    req.done.set()
+            elif req.stream_q is not None:
                 try:
-                    self._process_group(reqs_g, parsed_g)
-                except Exception as e:  # noqa: BLE001 — boundary: replay/500
-                    for req in reqs_g:
-                        if req.retries < self.max_retries:
-                            # Replay: re-enqueue for a fresh decode group
-                            # (reference loses the request, SURVEY.md §5.3).
-                            req.retries += 1
-                            with self.metrics.lock:
-                                self.metrics.replayed_requests += 1
-                            self.queue.put(req)
-                        else:
-                            with self.metrics.lock:
-                                self.metrics.errors_total += 1
-                            req.response = (500, "application/json",
-                                            json.dumps({"error": f"TTS generation failed: {e}"}).encode())
-                            req.done.set()
+                    jobs.append(self._start_stream_job(req, out))
+                except Exception as e:  # noqa: BLE001 — boundary
+                    req.stream_q.put(("error", (500, "application/json",
+                                     json.dumps({"error": f"TTS stream failed: {e}"}).encode())))
+                    req.stream_q.put(None)
+            else:
+                live.append(req)
+                parsed.append(out)
+
+        groups: dict[tuple, list[int]] = {}
+        for i, r in enumerate(parsed):
+            groups.setdefault(r["group"], []).append(i)
+        for idxs in groups.values():
+            reqs_g = [live[i] for i in idxs]
+            parsed_g = [parsed[i] for i in idxs]
+            try:
+                jobs.append(self._start_decode_job(reqs_g, parsed_g))
+            except Exception as e:  # noqa: BLE001 — boundary
+                self._replay_or_fail(reqs_g, e)
+
+    def _replay_or_fail(self, reqs: list[_Request], e: Exception) -> None:
+        """Reference loses a mid-generation request (SURVEY.md §5.3);
+        re-enqueue for a fresh decode up to max_retries, then 500."""
+        for req in reqs:
+            if req.retries < self.max_retries:
+                req.retries += 1
+                with self.metrics.lock:
+                    self.metrics.replayed_requests += 1
+                self.queue.put(req)
+            else:
+                with self.metrics.lock:
+                    self.metrics.errors_total += 1
+                req.response = (500, "application/json",
+                                json.dumps({"error": f"TTS generation failed: {e}"}).encode())
+                req.done.set()
+
+    def _worker_loop(self):
+        """Single-owner scheduler: admit queued requests as jobs, then
+        round-robin — each slice advances ONE job by one compiled decode
+        segment (~segment_steps frames). Short requests finish in a few
+        slices even while a 30 s generation is in flight (the reference,
+        and a naive queue, would block them for its full duration)."""
+        jobs: list = []
+        while not self._stop.is_set():
+            self._admit(jobs)
+            if not jobs:
+                continue
+            job = jobs.pop(0)
+            try:
+                done = job.advance()
+            except Exception as e:  # noqa: BLE001 — boundary: replay/500
+                job.fail(e)
+                continue
+            if done:
+                try:
+                    job.finish()
+                except Exception as e:  # noqa: BLE001 — boundary
+                    job.fail(e)
+            else:
+                jobs.append(job)
 
     # -- HTTP plumbing ------------------------------------------------------
 
@@ -776,3 +820,73 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+class _DecodeJob:
+    """Non-streaming group: one engine segment per advance; vocode +
+    respond at finish."""
+
+    def __init__(self, srv, reqs, parsed, pipe, it, prefix, setup_s):
+        self.srv, self.reqs, self.parsed = srv, reqs, parsed
+        self.pipe, self.it, self.prefix = pipe, it, prefix
+        self.result = None
+        self.compute_s = setup_s
+
+    def advance(self) -> bool:
+        t0 = time.monotonic()
+        try:
+            self.result = next(self.it)
+            return False
+        except StopIteration:
+            return True
+        finally:
+            self.compute_s += time.monotonic() - t0
+
+    def finish(self) -> None:
+        self.srv._finish_decode_job(self)
+
+    def fail(self, e: Exception) -> None:
+        self.srv._replay_or_fail(self.reqs, e)
+
+
+class _StreamJob:
+    """Streaming request: one vocoded chunk per advance, shipped to the
+    HTTP thread's chunk queue; budget-trimmed; ends with a None sentinel."""
+
+    def __init__(self, srv, req, pipe, gen, budget):
+        self.srv, self.req, self.pipe = srv, req, pipe
+        self.gen, self.budget, self.sent = gen, budget, 0
+
+    def advance(self) -> bool:
+        if self.req.cancelled.is_set():
+            return True  # client went away — stop decoding
+        t0 = time.monotonic()
+        try:
+            chunk = next(self.gen)
+        except StopIteration:
+            return True
+        finally:
+            with self.srv.metrics.lock:
+                self.srv.metrics.compute_seconds_total += time.monotonic() - t0
+        pcm = chunk[0]
+        take = min(self.budget - self.sent, pcm.shape[-1])
+        if take <= 0:
+            return True
+        data = (np.clip(pcm[:take], -1.0, 1.0) * 32767.0).astype(np.int16)
+        self.req.stream_q.put(data.tobytes())
+        self.sent += take
+        return False
+
+    def finish(self) -> None:
+        with self.srv.metrics.lock:
+            self.srv.metrics.audio_seconds_total += (
+                self.sent / self.pipe.dac.sampling_rate
+            )
+        self.req.stream_q.put(None)
+
+    def fail(self, e: Exception) -> None:
+        with self.srv.metrics.lock:
+            self.srv.metrics.errors_total += 1
+        self.req.stream_q.put(("error", (500, "application/json",
+                              json.dumps({"error": f"TTS stream failed: {e}"}).encode())))
+        self.req.stream_q.put(None)
+
