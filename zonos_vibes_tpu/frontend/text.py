@@ -174,7 +174,10 @@ _JP_AVAILABLE: bool | None = None
 
 _KANJI_DIGITS = "〇一二三四五六七八九"
 _KANJI_SMALL = ((1000, "千"), (100, "百"), (10, "十"))
-_KANJI_MYRIADS = ((10 ** 12, "兆"), (10 ** 8, "億"), (10 ** 4, "万"))
+_KANJI_MYRIADS = (
+    (10 ** 20, "垓"), (10 ** 16, "京"), (10 ** 12, "兆"),
+    (10 ** 8, "億"), (10 ** 4, "万"),
+)
 
 
 def number_to_kanji(n: int) -> str:
@@ -185,6 +188,10 @@ def number_to_kanji(n: int) -> str:
         return _KANJI_DIGITS[0]
     if n < 0:
         return "マイナス" + number_to_kanji(-n)
+    if n >= 10 ** 24:
+        # Beyond the supported myriad units: digit-wise kanji (never crash
+        # on absurd numeric runs in user text).
+        return "".join(_KANJI_DIGITS[int(c)] for c in str(n))
 
     def group(g: int) -> str:  # 1..9999
         out = []

@@ -147,7 +147,9 @@ class TTSServer:
         max_retries: int = 1,
         extra_pipelines: dict | None = None,
         max_active_jobs: int = 4,
-        segment_steps: int = 129,  # ~1.5 s of audio per scheduling slice
+        segment_steps: int = 43,  # ~0.5 s of audio per scheduling slice —
+        # matches the streaming chunk so streaming and non-streaming jobs
+        # (and warmup) share ONE compiled segment program family
     ):
         self.pipeline = pipeline
         # Multi-model serving (the reference gradio's model selector,
@@ -351,7 +353,8 @@ class TTSServer:
         if prefix is not None and len(reqs) > 1:
             prefix = jnp.tile(prefix, (len(reqs), 1, 1))
         t0 = time.monotonic()
-        prefix_cond = pipe.prepare_conditioning(cond)
+        with tracing.phase("conditioning"):
+            prefix_cond = pipe.prepare_conditioning(cond)
         it = pipe.engine.generate_stream(
             pipe.params, prefix_cond, prefix, key=key,
             max_new_tokens=mnt, cfg_scale=parsed[0]["cfg_scale"],
@@ -467,6 +470,7 @@ class TTSServer:
         gen = pipe.generate_stream(
             cond, prefix, key=key, cfg_scale=r["cfg_scale"],
             max_new_tokens=mnt, sampling_params=r["sampling"],
+            chunk_frames=self.segment_steps,
         )
         return _StreamJob(self, req, pipe, gen, budget)
 
@@ -500,21 +504,26 @@ class TTSServer:
     def _admit(self, jobs: list) -> None:
         """Parse + group queued requests into new jobs (bounded by
         max_active_jobs)."""
+        with self.metrics.lock:
+            self.metrics.queue_depth = self.queue.qsize()
         if len(jobs) >= self.max_active_jobs:
             return
         batch = self._drain_batch(block=not jobs)
         if not batch:
             return
-        with self.metrics.lock:
-            self.metrics.queue_depth = self.queue.qsize()
 
         live: list[_Request] = []
         parsed: list[dict] = []
         for req in batch:
             if time.monotonic() - req.enqueued_at > self.request_timeout_s:
-                req.response = (503, "application/json",
-                                json.dumps({"error": "Request timed out in queue"}).encode())
-                req.done.set()
+                timed_out = (503, "application/json",
+                             json.dumps({"error": "Request timed out in queue"}).encode())
+                if req.stream_q is not None:
+                    req.stream_q.put(("error", timed_out))
+                    req.stream_q.put(None)
+                else:
+                    req.response = timed_out
+                    req.done.set()
                 continue
             try:
                 out = self._parse(req.payload)
@@ -544,6 +553,13 @@ class TTSServer:
             groups.setdefault(r["group"], []).append(i)
         for idxs in groups.values():
             reqs_g = [live[i] for i in idxs]
+            if len(jobs) >= self.max_active_jobs:
+                # Drained more distinct groups than job slots: back to the
+                # queue (enqueued_at is preserved, so queue timeouts still
+                # apply) — max_active_jobs is a hard concurrency/HBM bound.
+                for req in reqs_g:
+                    self.queue.put(req)
+                continue
             parsed_g = [parsed[i] for i in idxs]
             try:
                 jobs.append(self._start_decode_job(reqs_g, parsed_g))
@@ -834,7 +850,8 @@ class _DecodeJob:
     def advance(self) -> bool:
         t0 = time.monotonic()
         try:
-            self.result = next(self.it)
+            with tracing.phase("generate"):
+                self.result = next(self.it)
             return False
         except StopIteration:
             return True
