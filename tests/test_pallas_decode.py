@@ -137,3 +137,47 @@ def test_staged_fallback_matches_dense():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
     )
+
+
+def test_pooled_per_row_prefix_matches_dense():
+    """Pooled kernel: every row attends to its OWN prefix length (+ its
+    current token) — the continuous-batching primitive."""
+    from zonos_vibes_tpu.ops.pallas.decode_attention import (
+        decode_attention_pallas_pooled,
+    )
+
+    rng = np.random.default_rng(11)
+    L, B, Hq, Hkv, D, T = 2, 4, 8, 2, 64, 256
+    f = lambda *sh: jnp.asarray(rng.standard_normal(sh).astype(np.float32))
+    q = f(B, 1, Hq, D)
+    kc, vc = f(L, B, Hkv, D, T), f(L, B, Hkv, D, T)
+    k_cur, v_cur = f(B, Hkv, D, 1), f(B, Hkv, D, 1)
+    prefix_ends = jnp.asarray([0, 7, 130, 255], jnp.int32)
+    layer = 1
+
+    # Dense per-row reference.
+    refs = []
+    for b in range(B):
+        pe = int(prefix_ends[b])
+        slab_k = np.array(kc[layer, b]);  slab_k[:, :, pe] = np.asarray(k_cur[b, ..., 0])
+        slab_v = np.array(vc[layer, b]);  slab_v[:, :, pe] = np.asarray(v_cur[b, ..., 0])
+        r = decode_attention(
+            q[b : b + 1], jnp.asarray(slab_k)[None], jnp.asarray(slab_v)[None],
+            jnp.int32(pe + 1),
+        )
+        refs.append(np.asarray(r[0]))
+    ref = np.stack(refs)
+
+    out = decode_attention_pallas_pooled(
+        q, kc, vc, k_cur, v_cur, prefix_ends, jnp.int32(layer),
+        block=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+    # XLA fallback agrees too.
+    from zonos_vibes_tpu.ops.attention import decode_attention_pooled_auto
+
+    out2 = decode_attention_pooled_auto(
+        q, kc, vc, k_cur, v_cur, prefix_ends, jnp.int32(layer)
+    )
+    np.testing.assert_allclose(np.asarray(out2), ref, rtol=2e-4, atol=2e-4)

@@ -1,0 +1,116 @@
+"""Continuous-batching decode pool: greedy parity vs the standard engine,
+row isolation under staggered joins, and slot reuse."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests.test_engine import TINY
+from zonos_vibes_tpu.engine.generate import DecodeEngine
+from zonos_vibes_tpu.engine import pool as plib
+from zonos_vibes_tpu.models.zonos import ZonosModel
+from zonos_vibes_tpu.ops.sampling import SamplingParams
+
+GREEDY = SamplingParams(temperature=0.0)
+PC = plib.PoolConfig(slots=2, max_cond_len=16, max_new_tokens=24)
+
+
+def _setup():
+    model = ZonosModel(TINY)
+    params = model.init(jax.random.key(0), jnp.float32)
+    return model, params
+
+
+def _cond(model, params, tokens):
+    return model.prepare_conditioning(
+        params, {"espeak": jnp.asarray([tokens])}
+    )
+
+
+def _run_pool_row(model, params, pool, slot, cond, mnt, seed, cfg=2.0,
+                  steps_per_slice=7):
+    req = plib.prefill_request(model, params, cond, jax.random.key(seed),
+                               mnt, cfg, GREEDY)
+    pool = plib.join(pool, req, slot, cond.shape[1], seed)
+    return pool
+
+
+def test_pool_greedy_matches_engine():
+    """A single pooled row under greedy decoding emits exactly the codes of
+    the standard engine (same math, EOS cascade included)."""
+    model, params = _setup()
+    engine = DecodeEngine(model)
+    cond = _cond(model, params, [2, 10, 20, 30, 3])
+    mnt = 16
+
+    ref = engine.generate(params, cond, key=jax.random.key(7),
+                          max_new_tokens=mnt, sampling_params=GREEDY)
+
+    pool = plib.make_pool(model, PC, jnp.float32)
+    pool = _run_pool_row(model, params, pool, 0, cond, mnt, seed=7)
+    while not plib.row_finished(pool, 0):
+        pool = plib.pool_steps_jit(model, params, pool, jax.random.key(0),
+                                   5, 2.0, GREEDY)
+    codes, valid = plib.extract_row(model, pool, 0)
+    assert valid == int(ref.valid_length)
+    np.testing.assert_array_equal(
+        np.asarray(codes), np.asarray(ref.codes[0, :, :valid])
+    )
+
+
+def test_pool_row_isolation_staggered_join():
+    """A row's output must not depend on what else shares the pool: run
+    row A alone; then run row A with row B joining mid-flight — identical
+    codes for A (and B matches B-alone too)."""
+    model, params = _setup()
+    cond_a = _cond(model, params, [2, 5, 6, 7, 3])
+    cond_b = _cond(model, params, [2, 9, 8, 3])
+    mnt = 14
+    base = jax.random.key(42)
+
+    def run(join_b_after: int | None):
+        pool = plib.make_pool(model, PC, jnp.float32)
+        pool = _run_pool_row(model, params, pool, 0, cond_a, mnt, seed=1)
+        if join_b_after is not None:
+            pool = plib.pool_steps_jit(model, params, pool, base,
+                                       join_b_after, 2.0, GREEDY)
+            pool = _run_pool_row(model, params, pool, 1, cond_b, mnt, seed=2)
+        for _ in range(30):
+            pool = plib.pool_steps_jit(model, params, pool, base, 5, 2.0,
+                                       GREEDY)
+            if plib.row_finished(pool, 0) and (
+                join_b_after is None or plib.row_finished(pool, 1)
+            ):
+                break
+        a = plib.extract_row(model, pool, 0)
+        b = plib.extract_row(model, pool, 1) if join_b_after is not None else None
+        return a, b
+
+    (a_solo, _), _ = run(None), None
+    (a_shared, b_shared) = run(3)
+    np.testing.assert_array_equal(np.asarray(a_solo[0]),
+                                  np.asarray(a_shared[0]))
+    assert a_solo[1] == a_shared[1]
+    assert b_shared is not None and b_shared[1] > 0
+
+
+def test_pool_slot_reuse():
+    """Releasing a finished slot and joining a new request reuses it."""
+    model, params = _setup()
+    cond = _cond(model, params, [2, 4, 3])
+    pool = plib.make_pool(model, PC, jnp.float32)
+    pool = _run_pool_row(model, params, pool, 0, cond, 8, seed=3)
+    while not plib.row_finished(pool, 0):
+        pool = plib.pool_steps_jit(model, params, pool, jax.random.key(0),
+                                   4, 2.0, GREEDY)
+    codes1, v1 = plib.extract_row(model, pool, 0)
+    pool = plib.release_row(pool, 0)
+    assert not bool(pool["active"][0])
+
+    pool = _run_pool_row(model, params, pool, 0, cond, 8, seed=3)
+    while not plib.row_finished(pool, 0):
+        pool = plib.pool_steps_jit(model, params, pool, jax.random.key(0),
+                                   4, 2.0, GREEDY)
+    codes2, v2 = plib.extract_row(model, pool, 0)
+    assert v1 == v2
+    np.testing.assert_array_equal(np.asarray(codes1), np.asarray(codes2))

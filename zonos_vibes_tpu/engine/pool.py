@@ -1,0 +1,277 @@
+"""Continuous-batching decode pool.
+
+The reference serves one request at a time to completion (server.py:59-91);
+our group batching shares one decode across SIMULTANEOUS compatible
+arrivals, and the segment scheduler interleaves jobs so nothing
+head-of-line blocks — but interleaved jobs still each pay the full
+per-step weight read (~3.2 GB at flagship scale). This module adds the
+missing piece for STAGGERED load: a fixed-slot decode pool where every
+active request is one batch row of a single compiled step, so weight
+reads amortize across requests that arrived at different times
+(vLLM-style continuous batching, re-derived TPU-first: static shapes,
+per-row cache positions via the pooled Pallas kernel, masked row
+bookkeeping — no dynamic batch reshapes, no recompiles on join/leave).
+
+Row lifecycle:
+  join   — the request is prefilled SOLO (batch 1, its own compiled
+           cond-bucket program, writing a small [L, 2, ...] cache), then
+           its cache rows / delayed codes / counters are spliced into a
+           free slot (cond row ``s``, CFG uncond row ``slots + s``);
+  step   — one pooled decode step advances every ACTIVE row: per-row
+           positions drive RoPE, attention bounds, cache column writes,
+           delayed-buffer reads/writes, and per-row PRNG
+           (``fold_in(fold_in(base, row_seed), row_step)`` — a row's
+           sample stream depends only on its own seed and step, so its
+           codes are INDEPENDENT of what else shares the pool);
+  leave  — when a row's EOS cascade completes, extract + revert its codes
+           and mark the slot free; the stale cache rows are simply
+           overwritten by the next join.
+
+Greedy decoding of a pooled row matches `DecodeEngine.generate` exactly
+(same math, same EOS cascade); sampled rows are deterministic in
+(row_seed, join-time state) and isolated from pool neighbors
+(tests/test_pool.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ZonosConfig
+from ..models.zonos import ZonosModel
+from ..ops.attention import NEG_INF
+from ..ops.delay_pattern import revert_delay_pattern
+from ..ops.rope import rope_table
+from ..ops.sampling import SamplingParams, sample_from_logits
+from .generate import _find_multiple, _masked_scatter_frame, prefill_jit
+
+
+@dataclass(frozen=True)
+class PoolConfig:
+    slots: int = 4
+    max_cond_len: int = 512
+    max_new_tokens: int = 86 * 30  # per request ceiling (30 s)
+
+
+def _pool_cache_len(model: ZonosModel, pc: PoolConfig) -> int:
+    seq = pc.max_cond_len + pc.max_new_tokens + model.config.num_codebooks
+    return _find_multiple(seq, 512 if seq >= 1024 else 8)
+
+
+def make_pool(model: ZonosModel, pc: PoolConfig, dtype=jnp.bfloat16) -> dict:
+    """All-slots-free pool state. The cache is the plain {k, v} pair —
+    pooled mode splices columns per row directly (no stage)."""
+    K = model.config.num_codebooks
+    T = _pool_cache_len(model, pc)
+    cache = model.allocate_cache(2 * pc.slots, T, dtype)
+    cache = {"k": cache["k"], "v": cache["v"]}
+    lbuf = pc.max_new_tokens + K
+    S = pc.slots
+    return {
+        "cache": cache,
+        "delayed": jnp.zeros((S, K, lbuf), jnp.int32),
+        "pos": jnp.zeros((S,), jnp.int32),       # absolute cache position
+        "step": jnp.zeros((S,), jnp.int32),      # delayed-buffer offset
+        "active": jnp.zeros((S,), bool),
+        "remaining": jnp.zeros((S,), jnp.int32),
+        "stopping": jnp.zeros((S,), bool),
+        "stop_offset": jnp.full((S,), -1, jnp.int32),
+        "row_seed": jnp.zeros((S,), jnp.uint32),
+    }
+
+
+def prefill_request(
+    model: ZonosModel,
+    params: dict,
+    prefix_conditioning: jnp.ndarray,  # [2, Lc, D] (cond ‖ uncond)
+    key: jax.Array,
+    max_new_tokens: int,
+    cfg_scale: float,
+    sampling: SamplingParams,
+) -> dict:
+    """Solo prefill for a joining request (its own compiled cond-bucket
+    program); returns the request state to splice via :func:`join`."""
+    K = model.config.num_codebooks
+    empty_prefix = jnp.zeros((1, K, 0), jnp.int32)
+    return prefill_jit(
+        model, params, prefix_conditioning, empty_prefix, key,
+        0, int(max_new_tokens), float(cfg_scale), sampling, False,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("slot",))
+def join(pool: dict, req_state: dict, slot: int, cond_len, row_seed) -> dict:
+    """Splice a prefilled request into ``slot`` (cond row ``slot``, uncond
+    row ``slots + slot``). The request cache is shorter in T (its own
+    cond bucket); positions beyond its prefix are written later by pooled
+    steps."""
+    S = pool["active"].shape[0]
+    zero = jnp.zeros((), jnp.int32)
+    cache = pool["cache"]
+    rk, rv = req_state["cache"]["k"], req_state["cache"]["v"]
+    nk, nv = cache["k"], cache["v"]
+    for dst, src in ((slot, 0), (S + slot, 1)):
+        idx = (zero, jnp.int32(dst), zero, zero, zero)
+        nk = jax.lax.dynamic_update_slice(nk, rk[:, src : src + 1], idx)
+        nv = jax.lax.dynamic_update_slice(nv, rv[:, src : src + 1], idx)
+    delayed = jax.lax.dynamic_update_slice(
+        pool["delayed"], req_state["delayed"],
+        (jnp.int32(slot), zero, zero),
+    )
+    upd = lambda arr, v: arr.at[slot].set(v)
+    return {
+        "cache": {"k": nk, "v": nv},
+        "delayed": delayed,
+        "pos": upd(pool["pos"], jnp.asarray(cond_len, jnp.int32)
+                   + req_state["offset"]),
+        # Engine body semantics (generate.py): reads delayed[offset],
+        # writes offset+1 — the pool's ``step`` is the NEXT write column.
+        "step": upd(pool["step"], req_state["offset"] + 1),
+        "active": upd(pool["active"], True),
+        "remaining": upd(pool["remaining"], req_state["remaining"][0]),
+        "stopping": upd(pool["stopping"], req_state["stopping"][0]),
+        "stop_offset": upd(pool["stop_offset"], req_state["stop_offset"][0]),
+        "row_seed": upd(pool["row_seed"], jnp.asarray(row_seed, jnp.uint32)),
+    }
+
+
+def _pool_body(model: ZonosModel, params: dict, pool: dict, base_key,
+               cfg_scale: float, sampling: SamplingParams, rope):
+    cfg: ZonosConfig = model.config
+    K = cfg.num_codebooks
+    S = pool["active"].shape[0]
+    eos, mask_tok = cfg.eos_token_id, cfg.masked_token_id
+    active = pool["active"] & (pool["remaining"] > 0)
+
+    # Per-row previous frame: delayed[s, :, step_s - 1].
+    idx = jnp.maximum(pool["step"] - 1, 0)[:, None, None]
+    frame_in = jnp.take_along_axis(pool["delayed"], idx, axis=2)  # [S,K,1]
+    emb = model.embed_codes(params, frame_in)
+    emb = jnp.concatenate([emb, emb], axis=0)  # CFG rows [cond..., uncond...]
+    lengths = jnp.concatenate([pool["pos"], pool["pos"]])  # [2S] per-row
+    logits, cache = model.compute_logits(
+        params, emb, pool["cache"], jnp.int32(0), lengths, cfg_scale, rope,
+        pooled=True,
+    )
+
+    head_v = model.head_out_dim
+    bias = jnp.zeros((S, K, head_v), jnp.float32).at[:, 1:, eos].set(NEG_INF)
+    logits = logits + bias
+
+    # Per-row repetition window + per-row PRNG: a row's stream depends only
+    # on (row_seed, row_step) — invariant to pool composition.
+    w = sampling.repetition_penalty_window
+    widx = (pool["step"][:, None] - w + jnp.arange(w)[None, :])  # [S, w]
+    widx = jnp.maximum(widx, 0)[:, None, :].repeat(K, axis=1)
+    gen_window = jnp.take_along_axis(pool["delayed"], widx, axis=2)
+
+    def sample_row(seed, step, lg, gw):
+        k = jax.random.fold_in(jax.random.fold_in(base_key, seed), step)
+        return sample_from_logits(k, lg[None], sampling, gw[None])[0]
+
+    next_token = jax.vmap(sample_row)(
+        pool["row_seed"], pool["step"], logits, gen_window
+    )  # [S, K]
+
+    # EOS cascade (reference model.py:283-294 semantics, vectorized).
+    eos_in_cb0 = next_token[:, 0] == eos
+    remaining = jnp.where(
+        eos_in_cb0 & active, jnp.minimum(pool["remaining"], 9),
+        pool["remaining"],
+    )
+    stop_offset = jnp.where(
+        eos_in_cb0 & ~pool["stopping"] & active, pool["step"],
+        pool["stop_offset"],
+    )
+    stopping = pool["stopping"] | (eos_in_cb0 & active)
+    eos_idx = jnp.clip(9 - remaining, 0, K - 1)
+    cb = jnp.arange(K, dtype=jnp.int32)[None, :]
+    cascade = jnp.where(
+        cb < eos_idx[:, None], mask_tok,
+        jnp.where(cb == eos_idx[:, None], eos, next_token),
+    )
+    next_token = jnp.where(stopping[:, None], cascade, next_token)
+
+    # Write the frame at each row's delayed column (masked_scatter
+    # semantics for UNKNOWN slots, engine._masked_scatter_frame).
+    cur = jnp.take_along_axis(
+        pool["delayed"], pool["step"][:, None, None].repeat(K, axis=1), axis=2
+    )[..., 0]
+    frame = _masked_scatter_frame(cur, next_token)
+    col = jnp.arange(pool["delayed"].shape[-1], dtype=jnp.int32)[None, None, :]
+    write = (col == pool["step"][:, None, None]) & active[:, None, None]
+    delayed = jnp.where(write, frame[..., None], pool["delayed"])
+
+    adv = active.astype(jnp.int32)
+    return {
+        "cache": cache,
+        "delayed": delayed,
+        "pos": pool["pos"] + adv,
+        "step": pool["step"] + adv,
+        "active": pool["active"],
+        "remaining": jnp.where(active, remaining - 1, pool["remaining"]),
+        "stopping": jnp.where(active, stopping, pool["stopping"]),
+        "stop_offset": jnp.where(active, stop_offset, pool["stop_offset"]),
+        "row_seed": pool["row_seed"],
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "n_steps", "cfg_scale", "sampling"),
+    donate_argnames=("pool",),
+)
+def pool_steps_jit(
+    model: ZonosModel,
+    params: dict,
+    pool: dict,
+    base_key: jax.Array,
+    n_steps: int,
+    cfg_scale: float,
+    sampling: SamplingParams,
+) -> dict:
+    """Advance every active row by up to ``n_steps`` pooled decode steps
+    (early exit when nothing is running)."""
+    rope = rope_table(model.config.backbone.head_dim)
+
+    def cond_fn(carry):
+        i, p = carry
+        running = p["active"] & (p["remaining"] > 0)
+        return (i < n_steps) & jnp.any(running)
+
+    def body_fn(carry):
+        i, p = carry
+        p = _pool_body(model, params, p, base_key, cfg_scale, sampling, rope)
+        return i + 1, p
+
+    _, pool = jax.lax.while_loop(cond_fn, body_fn, (jnp.int32(0), pool))
+    return pool
+
+
+def row_finished(pool: dict, slot: int) -> bool:
+    return bool(pool["active"][slot]) and int(pool["remaining"][slot]) <= 0
+
+
+def extract_row(model: ZonosModel, pool: dict, slot: int):
+    """Finished row -> ``(codes [K, frames], valid_frames)``; caller marks
+    the slot free via :func:`release_row`."""
+    K = model.config.num_codebooks
+    delayed = pool["delayed"][slot : slot + 1]
+    out = revert_delay_pattern(delayed)[0]
+    out = jnp.where(out >= model.config.codebook_size, 0, out)
+    # step is the NEXT write column; the last written column is step - 1
+    # (== the standard engine's final ``offset``).
+    step = int(pool["step"][slot]) - 1
+    stop = int(pool["stop_offset"][slot])
+    valid = max(step - K, 0)
+    if stop >= 0:
+        valid = min(valid, max(stop - 1, 0))
+    return out[:, :valid], valid
+
+
+def release_row(pool: dict, slot: int) -> dict:
+    return {**pool, "active": pool["active"].at[slot].set(False)}

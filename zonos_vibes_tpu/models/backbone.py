@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from ..config import BackboneConfig
 from ..ops.attention import (
     decode_attention_layered_auto,
+    decode_attention_pooled_auto,
     prefill_attention_auto,
     update_kv_cache,
 )
@@ -171,6 +172,7 @@ def transformer_forward(
     lengths_per_sample: jnp.ndarray,
     rope: jnp.ndarray | None = None,
     stage_base: jnp.ndarray | None = None,
+    pooled: bool = False,
 ):
     """Run the layer stack on a chunk.
 
@@ -186,6 +188,9 @@ def transformer_forward(
         stage_base``) and the CALLER owns flushing (:func:`flush_kv_stage`
         once per KV_STAGE steps). When None, columns splice straight into
         the time-minor cache (single-shot / compat path).
+      pooled: continuous-batching decode — every row sits at its OWN cache
+        position, given by ``lengths_per_sample`` (``offset`` is ignored);
+        attention bounds and column writes are per-row.
 
     Returns ``(hidden_out [B, S, D], new_cache)``.
     """
@@ -211,7 +216,9 @@ def transformer_forward(
     cdtype = cache["k"].dtype
     L, B_c, Hkv_c, Dh_c = cache["k"].shape[:4]
 
-    if is_decode:
+    if is_decode and pooled:
+        row_pos = lengths_per_sample.astype(jnp.int32)  # [B] abs positions
+    elif is_decode:
         if stage_base is None:
             # Compat/single-shot path: attend with an empty dummy stage and
             # splice the column straight into the time-minor cache below.
@@ -230,7 +237,15 @@ def transformer_forward(
 
     def scan_body(carry, layer_params):
         h, l = carry
-        if is_decode:
+        if is_decode and pooled:
+            def attend(q, k, v):
+                k_col = k.astype(cdtype).transpose(0, 2, 3, 1)
+                v_col = v.astype(cdtype).transpose(0, 2, 3, 1)
+                y = decode_attention_pooled_auto(
+                    q, cache["k"], cache["v"], k_col, v_col, row_pos, l
+                )
+                return y, k_col, v_col
+        elif is_decode:
             def attend(q, k, v):
                 k_col = k.astype(cdtype).transpose(0, 2, 3, 1)
                 v_col = v.astype(cdtype).transpose(0, 2, 3, 1)
@@ -258,7 +273,22 @@ def transformer_forward(
     # k_cols/v_cols: [L, B, Hkv, Dh, S].
     zero = jnp.zeros((), jnp.int32)
     new_cache = dict(cache)
-    if is_decode and stage_base is not None:
+    if is_decode and pooled:
+        # Per-row column splice at each row's own position. B is small and
+        # static, so an unrolled per-row dynamic_update_slice beats a
+        # full-cache one-hot traversal.
+        nk, nv = cache["k"], cache["v"]
+        for b in range(B_c):
+            bidx = jnp.int32(b)
+            pos = row_pos[b]
+            nk = jax.lax.dynamic_update_slice(
+                nk, k_cols[:, b : b + 1], (zero, bidx, zero, zero, pos)
+            )
+            nv = jax.lax.dynamic_update_slice(
+                nv, v_cols[:, b : b + 1], (zero, bidx, zero, zero, pos)
+            )
+        new_cache["k"], new_cache["v"] = nk, nv
+    elif is_decode and stage_base is not None:
         # Staged decode: the fresh columns land in the TIME-MAJOR stage at
         # slot (offset - stage_base) — full (Hkv, Dh) planes, so the write
         # is tile-aligned and cheap; the caller flushes once per KV_STAGE
@@ -303,8 +333,8 @@ class TransformerBackbone:
         return allocate_kv_cache(self.cfg, batch, max_seqlen, dtype)
 
     def forward(self, params, hidden, cache, offset, lengths, rope=None,
-                stage_base=None):
+                stage_base=None, pooled=False):
         return transformer_forward(
             params, self.cfg, hidden, cache, offset, lengths, rope,
-            stage_base=stage_base,
+            stage_base=stage_base, pooled=pooled,
         )

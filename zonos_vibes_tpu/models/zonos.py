@@ -99,8 +99,12 @@ class ZonosModel:
         )
 
     def backbone_forward(self, params, hidden, cache, offset, lengths, rope=None,
-                         stage_base=None):
-        kw = {} if stage_base is None else {"stage_base": stage_base}
+                         stage_base=None, pooled=False):
+        kw = {}
+        if stage_base is not None:
+            kw["stage_base"] = stage_base
+        if pooled:
+            kw["pooled"] = True
         return self.backbone.forward(
             params["backbone"], hidden, cache, offset, lengths, rope, **kw
         )
@@ -115,12 +119,14 @@ class ZonosModel:
         cfg_scale: float,
         rope=None,
         stage_base=None,
+        pooled=False,
     ):
         """Backbone -> last position -> heads -> CFG mix -> pad mask.
         (model.py:103-116). ``hidden`` is the CFG-doubled ``[2B, S, D]``
         batch; returns ``([B, K, V] logits, new_cache)``."""
         out, new_cache = self.backbone_forward(
-            params, hidden, cache, offset, lengths, rope, stage_base=stage_base
+            params, hidden, cache, offset, lengths, rope,
+            stage_base=stage_base, pooled=pooled,
         )
         last = out[:, -1:, :]
         logits = self.apply_heads(params, last)[:, :, 0, :]  # [2B, K, V]

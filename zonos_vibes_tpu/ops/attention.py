@@ -265,6 +265,53 @@ def decode_attention_layered_auto(
     return decode_attention(q, kc[..., :T_orig], vc[..., :T_orig], cur_pos + 1)
 
 
+def decode_attention_pooled_auto(
+    q: jnp.ndarray,  # [B, 1, Hq, D]
+    k_cache: jnp.ndarray,  # [L, B, Hkv, D, T] READ-ONLY
+    v_cache: jnp.ndarray,  # [L, B, Hkv, D, T]
+    k_cur: jnp.ndarray,  # [B, Hkv, D, 1]
+    v_cur: jnp.ndarray,  # [B, Hkv, D, 1]
+    prefix_ends: jnp.ndarray,  # [B] int32 per-row valid prefix (excl. cur)
+    layer: jnp.ndarray,  # scalar int32
+) -> jnp.ndarray:
+    """Continuous-batching decode attention: every row attends to its OWN
+    prefix length (rows of one pooled step sit at different positions).
+    TPU: the pooled Pallas kernel (per-row scalar-prefetched seq_end);
+    fallback: dense attention with a per-row mask and per-row current-token
+    splice."""
+    B, S, Hq, D = q.shape
+    L, _, Hkv, _, T = k_cache.shape
+    ok = (
+        _PALLAS_DECODE != "0"
+        and S == 1
+        and Hq % Hkv == 0
+        and D % 8 == 0
+        and _decode_block_ok(T)
+        and (jax.default_backend() == "tpu" or _PALLAS_DECODE == "1")
+    )
+    if ok:
+        from .pallas.decode_attention import decode_attention_pallas_pooled
+
+        return decode_attention_pallas_pooled(
+            q, k_cache, v_cache, k_cur, v_cur, prefix_ends, layer,
+            block=_PALLAS_BLOCK,
+        )
+    kc = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
+    vc = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
+    pe = jnp.asarray(prefix_ends, jnp.int32)
+    # Per-row current-token splice via a one-hot select over T (cheap for
+    # the CPU correctness path).
+    t_iota = jnp.arange(T, dtype=jnp.int32)[None, None, None, :]
+    cur_mask = t_iota == pe[:, None, None, None]
+    kc = jnp.where(cur_mask, k_cur.astype(kc.dtype), kc)
+    vc = jnp.where(cur_mask, v_cur.astype(vc.dtype), vc)
+    scores = _grouped_scores(q, kc)  # [B,Hkv,G,1,T]
+    valid = t_iota[:, :, :, None, :] <= pe[:, None, None, None, None]
+    scores = jnp.where(valid, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return _apply_scores(probs, vc, q.dtype)
+
+
 def decode_attention_auto(
     q: jnp.ndarray,
     k_cache: jnp.ndarray,

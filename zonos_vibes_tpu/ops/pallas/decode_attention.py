@@ -335,6 +335,159 @@ def decode_attention_pallas_layered(
     return out.reshape(B, 1, Hq, D)
 
 
+def _kernel_pooled(
+    scalars_ref,  # SMEM [1 + B]: (layer, prefix_end_0, ..., prefix_end_{B-1})
+    q_ref,  # VMEM [1, Hq, D]
+    k_ref,  # VMEM [1, 1, Hkv*D, BLOCK]
+    v_ref,  # VMEM [1, 1, Hkv*D, BLOCK]
+    kc_ref,  # VMEM [1, 1, Hkv*D]
+    vc_ref,  # VMEM [1, 1, Hkv*D]
+    out_ref,  # VMEM [1, Hq, D]
+    acc_ref,  # VMEM [Hq, D] f32
+    m_ref,  # VMEM [Hq, 128] f32
+    l_ref,  # VMEM [Hq, 128] f32
+    *,
+    block: int,
+    scale: float,
+    n_kv_heads: int,
+    head_dim: int,
+):
+    """Pooled (continuous-batching) flash-decode: like the layered kernel
+    but every batch row sits at its OWN cache position — ``prefix_end`` is
+    a per-row scalar-prefetch vector, so rows of one pooled step can be at
+    step 3 and step 2000 simultaneously. No stage (pool mode splices
+    columns directly); the current token folds in the epilogue."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    seq_end = scalars_ref[1 + b]
+    nblocks = pl.cdiv(seq_end, block)
+    Hq = q_ref.shape[1]
+    G = Hq // n_kv_heads
+    D = head_dim
+
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (Hq, n_kv_heads * D), 0) // G
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (Hq, n_kv_heads * D), 1) // D
+    diag = row_head == col_head
+    q_full = jnp.tile(q_ref[0].astype(jnp.float32) * scale, (1, n_kv_heads))
+    q_diag = jnp.where(diag, q_full, 0.0)
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(t < nblocks)
+    def _():
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            q_diag, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        pos = t * block + jax.lax.broadcasted_iota(jnp.int32, (Hq, block), 1)
+        scores = jnp.where(pos < seq_end, scores, NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        pr = jnp.exp(scores - m_new)
+        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(pr, axis=-1, keepdims=True)
+        m_ref[:, :1] = m_new
+        pv = jax.lax.dot_general(
+            pr, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        pvm = jnp.where(diag, pv, 0.0)
+        own = pvm[:, :D]
+        for h in range(1, n_kv_heads):
+            own = own + pvm[:, h * D : (h + 1) * D]
+        acc_ref[:] = acc_ref[:] * alpha + own
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _():
+        kc = kc_ref[0, 0].astype(jnp.float32)
+        vc = vc_ref[0, 0].astype(jnp.float32)
+        s_cur = jnp.sum(q_diag * kc[None, :], axis=-1, keepdims=True)
+        m_prev = m_ref[:, :1]
+        m_fin = jnp.maximum(m_prev, s_cur)
+        alpha = jnp.exp(m_prev - m_fin)
+        p_cur = jnp.exp(s_cur - m_fin)
+        vm = jnp.where(diag, jnp.broadcast_to(vc[None, :], diag.shape), 0.0)
+        v_own = vm[:, :D]
+        for h in range(1, n_kv_heads):
+            v_own = v_own + vm[:, h * D : (h + 1) * D]
+        l_fin = l_ref[:, :1] * alpha + p_cur
+        acc = acc_ref[:] * alpha + p_cur * v_own
+        out_ref[0] = (acc / l_fin).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def decode_attention_pallas_pooled(
+    q: jnp.ndarray,  # [B, 1, Hq, D]
+    k_cache: jnp.ndarray,  # [L, B, Hkv, D, T] (read-only; cur col absent)
+    v_cache: jnp.ndarray,  # [L, B, Hkv, D, T]
+    k_cur: jnp.ndarray,  # [B, Hkv, D, 1]
+    v_cur: jnp.ndarray,  # [B, Hkv, D, 1]
+    prefix_ends: jnp.ndarray,  # [B] int32 per-row valid prefix (excl. cur)
+    layer: jnp.ndarray,  # scalar int32
+    block: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, S, Hq, D = q.shape
+    assert S == 1
+    L, _, Hkv, _, T = k_cache.shape
+    block = min(block, T)
+    if T % block:
+        block = T
+    nt = pl.cdiv(T, block)
+    scale = 1.0 / (D ** 0.5)
+
+    qg = q.reshape(B, Hq, D)
+    kcv = k_cache.reshape(L, B, Hkv * D, T)
+    vcv = v_cache.reshape(L, B, Hkv * D, T)
+    kcur = k_cur.reshape(B, 1, Hkv * D)
+    vcur = v_cur.reshape(B, 1, Hkv * D)
+    scalars = jnp.concatenate([
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        jnp.asarray(prefix_ends, jnp.int32).reshape(B),
+    ])
+
+    def kv_index(b, t, sc_ref):
+        last = jax.lax.max(pl.cdiv(sc_ref[1 + b], block) - 1, 0)
+        return (sc_ref[0], b, 0, jax.lax.min(t, last))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec((1, Hq, D), lambda b, t, sc: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hkv * D, block), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hkv * D, block), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hkv * D), lambda b, t, sc: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hkv * D), lambda b, t, sc: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Hq, D), lambda b, t, sc: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((Hq, D), jnp.float32),
+            pltpu.VMEM((Hq, 128), jnp.float32),
+            pltpu.VMEM((Hq, 128), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_pooled, block=block, scale=scale,
+            n_kv_heads=Hkv, head_dim=D,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(scalars, qg, kcv, vcv, kcur, vcur)
+    return out.reshape(B, 1, Hq, D)
+
+
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
 def decode_attention_pallas(
     q: jnp.ndarray,  # [B, 1, Hq, D]
