@@ -365,11 +365,18 @@ def _kernel_pooled(
     G = Hq // n_kv_heads
     D = head_dim
 
-    row_head = jax.lax.broadcasted_iota(jnp.int32, (Hq, n_kv_heads * D), 0) // G
-    col_head = jax.lax.broadcasted_iota(jnp.int32, (Hq, n_kv_heads * D), 1) // D
-    diag = row_head == col_head
-    q_full = jnp.tile(q_ref[0].astype(jnp.float32) * scale, (1, n_kv_heads))
-    q_diag = jnp.where(diag, q_full, 0.0)
+    def make_q_diag():
+        # Built inside the active pl.when bodies only: with per-row early
+        # stop, most (b, t) programs are no-ops and must not pay the
+        # iota/mask build (grid is B * nT programs at pool batch sizes).
+        row_head = jax.lax.broadcasted_iota(
+            jnp.int32, (Hq, n_kv_heads * D), 0) // G
+        col_head = jax.lax.broadcasted_iota(
+            jnp.int32, (Hq, n_kv_heads * D), 1) // D
+        diag = row_head == col_head
+        q_full = jnp.tile(q_ref[0].astype(jnp.float32) * scale,
+                          (1, n_kv_heads))
+        return diag, jnp.where(diag, q_full, 0.0)
 
     @pl.when(t == 0)
     def _():
@@ -379,6 +386,7 @@ def _kernel_pooled(
 
     @pl.when(t < nblocks)
     def _():
+        diag, q_diag = make_q_diag()
         k = k_ref[0, 0].astype(jnp.float32)
         v = v_ref[0, 0].astype(jnp.float32)
         scores = jax.lax.dot_general(
@@ -406,6 +414,7 @@ def _kernel_pooled(
 
     @pl.when(t == pl.num_programs(1) - 1)
     def _():
+        diag, q_diag = make_q_diag()
         kc = kc_ref[0, 0].astype(jnp.float32)
         vc = vc_ref[0, 0].astype(jnp.float32)
         s_cur = jnp.sum(q_diag * kc[None, :], axis=-1, keepdims=True)
