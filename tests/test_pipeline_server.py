@@ -558,3 +558,44 @@ def test_segment_interleaving_no_head_of_line_blocking(pipe):
         )
     finally:
         srv.shutdown()
+
+
+def test_pooled_server_staggered_requests(pipe):
+    """Continuous-batching server mode: staggered pool-eligible requests
+    share the decode pool (pooled_requests metric) and all complete."""
+    srv = TTSServer(pipe, host="127.0.0.1", port=5091, request_timeout_s=300,
+                    pooled=True, pool_slots=2, segment_steps=6)
+    srv.start_background()
+    results = {}
+
+    def post(name, text):
+        status, ctype, body = _post(
+            "http://127.0.0.1:5091/tts",
+            {"text": text, "max_new_tokens": 10,
+             "emotion": [0.3, 0.03, 0.03, 0.03, 0.03, 0.03, 0.25, 0.3]},
+        )
+        results[name] = (status, ctype, len(body))
+
+    try:
+        t1 = threading.Thread(target=post, args=("a", "First pooled request."))
+        t1.start()
+        time.sleep(0.5)  # staggered join
+        t2 = threading.Thread(target=post, args=("b", "Second pooled one."))
+        t2.start()
+        t1.join(timeout=240); t2.join(timeout=240)
+        assert results["a"][0] == 200 and results["b"][0] == 200
+        assert results["a"][1] == "audio/wav"
+        assert srv.metrics.snapshot()["pooled_requests"] == 2
+
+        # A pool-INeligible request (custom sampling) still serves via the
+        # job path.
+        status, _, _ = _post(
+            "http://127.0.0.1:5091/tts",
+            {"text": "Job path request.", "max_new_tokens": 6,
+             "sampling": {"min_p": 0.2},
+             "emotion": [0.3, 0.03, 0.03, 0.03, 0.03, 0.03, 0.25, 0.3]},
+        )
+        assert status == 200
+        assert srv.metrics.snapshot()["pooled_requests"] == 2
+    finally:
+        srv.shutdown()

@@ -73,8 +73,10 @@ def main():
         in_planes=4, embd_dim=24, lda_dim=16, depths=(1, 1, 1, 1)
     )
     pipe.speaker_params = pipe.speaker_encoder.init(jax.random.key(1))
+    pooled = "--pooled" in sys.argv
     srv = TTSServer(pipe, host="127.0.0.1", port=port,
-                    batch_window_s=1.0, request_timeout_s=600)
+                    batch_window_s=1.0, request_timeout_s=600,
+                    pooled=pooled, pool_slots=2)
     print(f"dev server on http://127.0.0.1:{port}", flush=True)
     srv.serve_forever()
 

@@ -114,6 +114,7 @@ class Metrics:
         self.audio_seconds_total = 0.0
         self.compute_seconds_total = 0.0
         self.queue_depth = 0
+        self.pooled_requests = 0
 
     def snapshot(self) -> dict:
         with self.lock:
@@ -130,6 +131,7 @@ class Metrics:
                 "batched_requests": self.batched_requests,
                 "replayed_requests": self.replayed_requests,
                 "queue_depth": self.queue_depth,
+                "pooled_requests": self.pooled_requests,
             }
 
 
@@ -150,6 +152,8 @@ class TTSServer:
         segment_steps: int = 43,  # ~0.5 s of audio per scheduling slice —
         # matches the streaming chunk so streaming and non-streaming jobs
         # (and warmup) share ONE compiled segment program family
+        pooled: bool = False,
+        pool_slots: int = 4,
     ):
         self.pipeline = pipeline
         # Multi-model serving (the reference gradio's model selector,
@@ -170,6 +174,12 @@ class TTSServer:
         self.max_retries = max_retries
         self.max_active_jobs = max_active_jobs
         self.segment_steps = segment_steps
+        # Continuous batching (engine/pool.py): staggered pool-eligible
+        # requests share one compiled step's weight reads instead of each
+        # paying full bandwidth as interleaved solo jobs.
+        self.pooled = pooled
+        self.pool_slots = pool_slots
+        self._pool_job = None  # lazy _PoolJob
         self.queue: "queue.Queue[_Request]" = queue.Queue()
         self.metrics = Metrics()
         from collections import OrderedDict
@@ -548,6 +558,15 @@ class TTSServer:
                 live.append(req)
                 parsed.append(out)
 
+        if self.pooled:
+            leftover_live, leftover_parsed = [], []
+            for req, r in zip(live, parsed):
+                if self._pool_eligible(r) and self._pool_admit(req, r, jobs):
+                    continue
+                leftover_live.append(req)
+                leftover_parsed.append(r)
+            live, parsed = leftover_live, leftover_parsed
+
         groups: dict[tuple, list[int]] = {}
         for i, r in enumerate(parsed):
             groups.setdefault(r["group"], []).append(i)
@@ -606,6 +625,29 @@ class TTSServer:
                     job.fail(e)
             else:
                 jobs.append(job)
+
+    # -- continuous-batching pool (engine/pool.py) --------------------------
+
+    def _pool_eligible(self, r: dict) -> bool:
+        """Pool rows share one compiled step, so they must share the pool's
+        static config: default model, default cfg/sampling, no stream, no
+        audio prefix, and fit the pool's token ceiling. Everything else
+        takes the regular job path."""
+        return (
+            not r["stream"]
+            and r["model"] == "default"
+            and r["prefix_codes"] is None
+            and r["cfg_scale"] == 2.0
+            and r["sampling"] == DEFAULT_SAMPLING
+            and r["max_new_tokens"] <= 86 * 30
+        )
+
+    def _pool_admit(self, req: _Request, r: dict, jobs: list) -> bool:
+        """Prefill + join into a free slot; returns False when the pool is
+        full (caller falls back to the job path)."""
+        if self._pool_job is None:
+            self._pool_job = _PoolJob(self)
+        return self._pool_job.admit(req, r, jobs)
 
     # -- HTTP plumbing ------------------------------------------------------
 
@@ -783,6 +825,10 @@ def main() -> None:
                     help="persistent XLA compilation cache directory")
     ap.add_argument("--heartbeat-interval-s", type=float, default=0.0,
                     help="enable mesh heartbeat monitor (0 = off)")
+    ap.add_argument("--pooled", action="store_true",
+                    help="continuous batching: staggered default-config "
+                         "requests share one decode pool (engine/pool.py)")
+    ap.add_argument("--pool-slots", type=int, default=4)
     args = ap.parse_args()
 
     from ..pipeline import ZonosPipeline
@@ -824,7 +870,7 @@ def main() -> None:
     srv = TTSServer(
         pipeline, host=args.host, port=args.port, max_batch=args.max_batch,
         batch_window_s=args.batch_window_ms / 1000.0, monitor=monitor,
-        extra_pipelines=extra,
+        extra_pipelines=extra, pooled=args.pooled, pool_slots=args.pool_slots,
     )
     if args.warmup:
         tracing.log_event("warmup_start")
@@ -907,3 +953,113 @@ class _StreamJob:
                               json.dumps({"error": f"TTS stream failed: {e}"}).encode())))
         self.req.stream_q.put(None)
 
+
+
+class _PoolJob:
+    """Continuous-batching pool as a perpetual scheduler job: admitted
+    requests prefill solo and join a slot; every advance() steps the pool
+    one segment and finalizes rows whose EOS cascade completed. Stays in
+    the job list while any row is active, so it round-robins with regular
+    jobs."""
+
+    def __init__(self, srv: TTSServer):
+        from ..engine import pool as plib
+
+        self.srv = srv
+        self.plib = plib
+        self.pipe = srv.pipelines["default"]
+        self.pc = plib.PoolConfig(
+            slots=srv.pool_slots, max_cond_len=512, max_new_tokens=86 * 30
+        )
+        # Cache dtype follows the activation dtype (bf16 for real
+        # checkpoints, fp32 in CPU tests).
+        emb0 = jax.tree_util.tree_leaves(self.pipe.params)[0]
+        self.pool = plib.make_pool(self.pipe.model, self.pc, emb0.dtype)
+        self.base_key = jax.random.key(srv.seed)
+        self.rows: dict[int, tuple] = {}  # slot -> (req, parsed)
+        self.scheduled = False
+
+    def free_slots(self):
+        return [s for s in range(self.pc.slots) if s not in self.rows]
+
+    def admit(self, req: _Request, r: dict, jobs: list) -> bool:
+        free = self.free_slots()
+        if not free:
+            return False
+        slot = free[0]
+        pipe = self.pipe
+        cond = pipe.merge_cond_dicts(
+            [pipe.make_cond_dict(**r["cond_kwargs"])],
+            pad_len=self.srv._cond_bucket(
+                len(pipe.make_cond_dict(**r["cond_kwargs"])["espeak"][0])
+            ),
+        )
+        prefix_cond = pipe.prepare_conditioning(cond)
+        self.srv._req_counter += 1
+        key = jax.random.fold_in(
+            jax.random.key(r["seed"]), self.srv._req_counter
+        )
+        req_state = self.plib.prefill_request(
+            pipe.model, pipe.params, prefix_cond, key,
+            self.pc.max_new_tokens, 2.0, DEFAULT_SAMPLING,
+        )
+        row_seed = (r["seed"] * 1000003 + self.srv._req_counter) % (2 ** 31)
+        self.pool = self.plib.join(
+            self.pool, req_state, slot, prefix_cond.shape[1], row_seed
+        )
+        self.rows[slot] = (req, r, time.monotonic())
+        if not self.scheduled:
+            jobs.append(self)
+            self.scheduled = True
+        return True
+
+    def advance(self) -> bool:
+        t0 = time.monotonic()
+        self.pool = self.plib.pool_steps_jit(
+            self.pipe.model, self.pipe.params, self.pool, self.base_key,
+            self.srv.segment_steps, 2.0, DEFAULT_SAMPLING,
+        )
+        jax.block_until_ready(self.pool["pos"])
+        with self.srv.metrics.lock:
+            self.srv.metrics.compute_seconds_total += time.monotonic() - t0
+        for slot in list(self.rows):
+            if self.plib.row_finished(self.pool, slot):
+                self._finish_row(slot)
+        if not self.rows:
+            self.scheduled = False
+            return True  # leave the job list until the next admit
+        return False
+
+    def _finish_row(self, slot: int) -> None:
+        req, r, t0 = self.rows.pop(slot)
+        codes, valid = self.plib.extract_row(
+            self.pipe.model, self.pool, slot
+        )
+        self.pool = self.plib.release_row(self.pool, slot)
+        frames = min(valid, r["max_new_tokens"])
+        sr = self.pipe.dac.sampling_rate
+        if frames > 0:
+            wav = self.pipe.decode_audio(codes[None, :, :])[0]
+            wav = wav[: frames * self.pipe.dac.hop]
+        else:
+            wav = np.zeros((self.pipe.dac.hop,), np.float32)
+        req.response = (200, "audio/wav", wav_bytes(wav, sr))
+        req.done.set()
+        with self.srv.metrics.lock:
+            self.srv.metrics.audio_seconds_total += wav.shape[-1] / sr
+            self.srv.metrics.pooled_requests += 1
+        tracing.log_event(
+            "tts_pool_row_done", slot=slot, frames=frames,
+            wall_s=round(time.monotonic() - t0, 3),
+        )
+
+    def fail(self, e: Exception) -> None:
+        reqs = [req for req, _, _ in self.rows.values()]
+        self.rows.clear()
+        self.scheduled = False
+        emb0 = jax.tree_util.tree_leaves(self.pipe.params)[0]
+        self.pool = self.plib.make_pool(self.pipe.model, self.pc, emb0.dtype)
+        self.srv._replay_or_fail(reqs, e)
+
+    def finish(self) -> None:
+        pass  # nothing to do: rows finalize inside advance()
