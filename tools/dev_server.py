@@ -64,7 +64,8 @@ TINY_CFG = ZonosConfig(
 
 
 def main():
-    port = int(sys.argv[1]) if len(sys.argv) > 1 else 5050
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    port = int(args[0]) if args else 5050
     pipe = ZonosPipeline.from_config(
         TINY_CFG, key=jax.random.key(0), dtype=jnp.float32,
         dac=DACAutoencoder(TINY_DAC),

@@ -276,7 +276,12 @@ def transformer_forward(
     if is_decode and pooled:
         # Per-row column splice at each row's own position. B is small and
         # static, so an unrolled per-row dynamic_update_slice beats a
-        # full-cache one-hot traversal.
+        # full-cache one-hot traversal. NOTE: this is the strided
+        # time-minor write the staged design exists to amortize
+        # (CLAUDE.md); pooled rows sit at DIFFERENT positions so a shared
+        # stage needs per-row ring windows — measured acceptable at pool
+        # sizes (~1.4 ms/step at 16 rows) and recorded as known headroom
+        # in docs/KERNELS.md.
         nk, nv = cache["k"], cache["v"]
         for b in range(B_c):
             bidx = jnp.int32(b)

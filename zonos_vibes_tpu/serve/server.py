@@ -561,10 +561,16 @@ class TTSServer:
         if self.pooled:
             leftover_live, leftover_parsed = [], []
             for req, r in zip(live, parsed):
-                if self._pool_eligible(r) and self._pool_admit(req, r, jobs):
-                    continue
-                leftover_live.append(req)
-                leftover_parsed.append(r)
+                try:
+                    admitted = self._pool_eligible(r) and self._pool_admit(
+                        req, r, jobs
+                    )
+                except Exception as e:  # noqa: BLE001 — boundary: job path works
+                    tracing.log_event("pool_admit_failed", error=repr(e)[:120])
+                    admitted = False
+                if not admitted:
+                    leftover_live.append(req)
+                    leftover_parsed.append(r)
             live, parsed = leftover_live, leftover_parsed
 
         groups: dict[tuple, list[int]] = {}
@@ -988,20 +994,23 @@ class _PoolJob:
             return False
         slot = free[0]
         pipe = self.pipe
-        cond = pipe.merge_cond_dicts(
-            [pipe.make_cond_dict(**r["cond_kwargs"])],
-            pad_len=self.srv._cond_bucket(
-                len(pipe.make_cond_dict(**r["cond_kwargs"])["espeak"][0])
-            ),
-        )
+        cd = pipe.make_cond_dict(**r["cond_kwargs"])
+        pad_len = self.srv._cond_bucket(int(cd["espeak"].shape[1]))
+        if pad_len > self.pc.max_cond_len:
+            return False  # longer than the pool geometry -> job path
+        cond = pipe.merge_cond_dicts([cd], pad_len=pad_len)
         prefix_cond = pipe.prepare_conditioning(cond)
         self.srv._req_counter += 1
         key = jax.random.fold_in(
             jax.random.key(r["seed"]), self.srv._req_counter
         )
+        # Prefill with the REQUEST's (bucketed) budget so short requests
+        # free their slot early instead of decoding to the pool ceiling.
+        mnt = min(self.srv._bucket(r["max_new_tokens"]),
+                  self.pc.max_new_tokens)
         req_state = self.plib.prefill_request(
             pipe.model, pipe.params, prefix_cond, key,
-            self.pc.max_new_tokens, 2.0, DEFAULT_SAMPLING,
+            mnt, 2.0, DEFAULT_SAMPLING,
         )
         row_seed = (r["seed"] * 1000003 + self.srv._req_counter) % (2 ** 31)
         self.pool = self.plib.join(
@@ -1031,23 +1040,34 @@ class _PoolJob:
         return False
 
     def _finish_row(self, slot: int) -> None:
-        req, r, t0 = self.rows.pop(slot)
+        # Row stays in self.rows until the response is built, so a vocode
+        # failure still replays this request via fail().
+        req, r, t0 = self.rows[slot]
         codes, valid = self.plib.extract_row(
             self.pipe.model, self.pool, slot
         )
-        self.pool = self.plib.release_row(self.pool, slot)
         frames = min(valid, r["max_new_tokens"])
         sr = self.pipe.dac.sampling_rate
         if frames > 0:
-            wav = self.pipe.decode_audio(codes[None, :, :])[0]
+            # Vocode at a BUCKETED static length (a handful of compiled
+            # vocoder shapes) and trim samples — a per-valid-length slice
+            # would recompile the DAC decoder per utterance.
+            vlen = self.srv._bucket(frames)
+            padded = np.zeros((codes.shape[0], vlen), np.int32)
+            padded[:, :frames] = np.asarray(codes[:, :frames])
+            wav = self.pipe.decode_audio(jnp.asarray(padded)[None, :, :])[0]
             wav = wav[: frames * self.pipe.dac.hop]
         else:
             wav = np.zeros((self.pipe.dac.hop,), np.float32)
-        req.response = (200, "audio/wav", wav_bytes(wav, sr))
-        req.done.set()
+        # Metrics BEFORE done.set(): the client thread unblocks on done and
+        # may read /metrics immediately.
         with self.srv.metrics.lock:
             self.srv.metrics.audio_seconds_total += wav.shape[-1] / sr
             self.srv.metrics.pooled_requests += 1
+        req.response = (200, "audio/wav", wav_bytes(wav, sr))
+        req.done.set()
+        self.rows.pop(slot)
+        self.pool = self.plib.release_row(self.pool, slot)
         tracing.log_event(
             "tts_pool_row_done", slot=slot, frames=frames,
             wall_s=round(time.monotonic() - t0, 3),
