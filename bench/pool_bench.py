@@ -1,0 +1,44 @@
+"""Pooled (continuous-batching) decode throughput at flagship scale.
+
+S requests join the pool at STAGGERED positions — the scenario the pool
+exists for (simultaneous arrivals use group batching instead). Usage:
+    python bench/pool_bench.py [slots] [int8]
+"""
+import sys, time
+sys.path.insert(0, ".")
+import jax, jax.numpy as jnp
+
+from zonos_vibes_tpu.config import ZONOS_V01_TRANSFORMER
+from zonos_vibes_tpu.engine import pool as plib
+from zonos_vibes_tpu.models.zonos import ZonosModel
+from zonos_vibes_tpu.ops.sampling import SamplingParams
+
+S = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+model = ZonosModel(ZONOS_V01_TRANSFORMER)
+params = model.init(jax.random.key(0))
+if "int8" in sys.argv:
+    from zonos_vibes_tpu.ops.quant import quantize_zonos_params
+    params = quantize_zonos_params(params)
+PC = plib.PoolConfig(slots=S, max_cond_len=64, max_new_tokens=2580)
+SP = SamplingParams(min_p=0.1)
+pool = plib.make_pool(model, PC)
+
+phon = jnp.asarray([[2] + [40] * 58 + [3]])
+cond = model.prepare_conditioning(params, {"espeak": phon})
+# Staggered joins: advance a few steps between each join (disable_eos not
+# plumbed; rows sample freely — row EOS may stop early, fine for timing).
+for slot in range(S):
+    req = plib.prefill_request(model, params, cond, jax.random.key(slot), 2580, 2.0, SP)
+    pool = plib.join(pool, req, slot, cond.shape[1], slot)
+    pool = plib.pool_steps_jit(model, params, pool, jax.random.key(9), 3, 2.0, SP)
+jax.device_get(pool["pos"])
+# Warm the timed program (n_steps is static).
+pool = plib.pool_steps_jit(model, params, pool, jax.random.key(9), 86, 2.0, SP)
+jax.device_get(pool["pos"])
+
+t0 = time.perf_counter()
+pool = plib.pool_steps_jit(model, params, pool, jax.random.key(10), 86, 2.0, SP)
+jax.device_get(pool["pos"])
+el = time.perf_counter() - t0
+ms = el / 86 * 1000
+print(f"pooled S={S}: {ms:.2f} ms/step -> aggregate {S/86.1328/(el/86):.1f} audio-s/s")
