@@ -634,18 +634,23 @@ class TTSServer:
 
     # -- continuous-batching pool (engine/pool.py) --------------------------
 
+    # The pool's static request config (one compiled step for all rows).
+    POOL_CFG_SCALE = 2.0
+
     def _pool_eligible(self, r: dict) -> bool:
         """Pool rows share one compiled step, so they must share the pool's
         static config: default model, default cfg/sampling, no stream, no
         audio prefix, and fit the pool's token ceiling. Everything else
         takes the regular job path."""
+        from ..engine.pool import PoolConfig
+
         return (
             not r["stream"]
             and r["model"] == "default"
             and r["prefix_codes"] is None
-            and r["cfg_scale"] == 2.0
+            and r["cfg_scale"] == self.POOL_CFG_SCALE
             and r["sampling"] == DEFAULT_SAMPLING
-            and r["max_new_tokens"] <= 86 * 30
+            and r["max_new_tokens"] <= PoolConfig.max_new_tokens
         )
 
     def _pool_admit(self, req: _Request, r: dict, jobs: list) -> bool:
@@ -974,25 +979,24 @@ class _PoolJob:
         self.srv = srv
         self.plib = plib
         self.pipe = srv.pipelines["default"]
-        self.pc = plib.PoolConfig(
-            slots=srv.pool_slots, max_cond_len=512, max_new_tokens=86 * 30
-        )
+        self.pc = plib.PoolConfig(slots=srv.pool_slots)
+        self.pool = self._fresh_pool()
+        self.base_key = jax.random.key(srv.seed)
+        self.rows: dict[int, tuple] = {}  # slot -> (req, parsed, t0)
+        self.scheduled = False
+
+    def _fresh_pool(self):
         # Cache dtype follows the activation dtype (bf16 for real
         # checkpoints, fp32 in CPU tests).
         emb0 = jax.tree_util.tree_leaves(self.pipe.params)[0]
-        self.pool = plib.make_pool(self.pipe.model, self.pc, emb0.dtype)
-        self.base_key = jax.random.key(srv.seed)
-        self.rows: dict[int, tuple] = {}  # slot -> (req, parsed)
-        self.scheduled = False
-
-    def free_slots(self):
-        return [s for s in range(self.pc.slots) if s not in self.rows]
+        return self.plib.make_pool(self.pipe.model, self.pc, emb0.dtype)
 
     def admit(self, req: _Request, r: dict, jobs: list) -> bool:
-        free = self.free_slots()
-        if not free:
+        slot = next(
+            (i for i in range(self.pc.slots) if i not in self.rows), None
+        )
+        if slot is None:
             return False
-        slot = free[0]
         pipe = self.pipe
         cd = pipe.make_cond_dict(**r["cond_kwargs"])
         pad_len = self.srv._cond_bucket(int(cd["espeak"].shape[1]))
@@ -1010,7 +1014,7 @@ class _PoolJob:
                   self.pc.max_new_tokens)
         req_state = self.plib.prefill_request(
             pipe.model, pipe.params, prefix_cond, key,
-            mnt, 2.0, DEFAULT_SAMPLING,
+            mnt, self.srv.POOL_CFG_SCALE, DEFAULT_SAMPLING,
         )
         row_seed = (r["seed"] * 1000003 + self.srv._req_counter) % (2 ** 31)
         self.pool = self.plib.join(
@@ -1026,13 +1030,19 @@ class _PoolJob:
         t0 = time.monotonic()
         self.pool = self.plib.pool_steps_jit(
             self.pipe.model, self.pipe.params, self.pool, self.base_key,
-            self.srv.segment_steps, 2.0, DEFAULT_SAMPLING,
+            self.srv.segment_steps, self.srv.POOL_CFG_SCALE, DEFAULT_SAMPLING,
         )
-        jax.block_until_ready(self.pool["pos"])
+        # ONE host readback for the barrier AND the finished-row check —
+        # per-slot row_finished() would cost 2 device reads per slot per
+        # slice (and block_until_ready is not a reliable barrier on the
+        # remote-TPU platform, CLAUDE.md).
+        active, remaining = jax.device_get(
+            (self.pool["active"], self.pool["remaining"])
+        )
         with self.srv.metrics.lock:
             self.srv.metrics.compute_seconds_total += time.monotonic() - t0
         for slot in list(self.rows):
-            if self.plib.row_finished(self.pool, slot):
+            if active[slot] and remaining[slot] <= 0:
                 self._finish_row(slot)
         if not self.rows:
             self.scheduled = False
@@ -1077,8 +1087,7 @@ class _PoolJob:
         reqs = [req for req, _, _ in self.rows.values()]
         self.rows.clear()
         self.scheduled = False
-        emb0 = jax.tree_util.tree_leaves(self.pipe.params)[0]
-        self.pool = self.plib.make_pool(self.pipe.model, self.pc, emb0.dtype)
+        self.pool = self._fresh_pool()
         self.srv._replay_or_fail(reqs, e)
 
     def finish(self) -> None:
