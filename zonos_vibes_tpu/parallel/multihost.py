@@ -31,6 +31,7 @@ test suite exercise the same code paths that run on a real slice.
 from __future__ import annotations
 
 import os
+import queue
 import threading
 import time
 from dataclasses import dataclass, field
@@ -90,6 +91,12 @@ class Heartbeat:
     the result equals the device count — executed on device, so it fails
     (or hangs) iff real collectives would. Runs are jitted once; each probe
     is one tiny program launch.
+
+    Device calls run on ONE persistent daemon worker (not a thread per
+    probe): if a probe wedges on a stalled collective, subsequent
+    ``probe()`` calls return False immediately without stacking more
+    threads onto the dead device; the worker resumes serving probes if the
+    wedged call ever completes, discarding its stale result.
     """
 
     def __init__(self, mesh: Mesh, timeout_s: float = 10.0):
@@ -108,24 +115,46 @@ class Heartbeat:
         self._fn = jax.jit(_probe, out_shardings=NamedSharding(mesh, P()))
         self._arg = sharded
         self.world = n
+        self._req: queue.Queue[None] = queue.Queue()
+        self._resp: queue.Queue[int | None] = queue.Queue()
+        self._inflight = 0  # submitted minus consumed/discarded responses
+        self._worker = threading.Thread(target=self._serve, daemon=True)
+        self._worker.start()
+
+    def _device_call(self) -> int:
+        """The blocking device round-trip; injectable for wedge tests."""
+        return int(jax.device_get(self._fn(self._arg)))
+
+    def _serve(self):
+        while True:
+            self._req.get()
+            try:
+                val: int | None = self._device_call()
+            except BaseException:  # noqa: BLE001 — device failure boundary
+                val = None
+            self._resp.put(val)
 
     def probe(self) -> bool:
         """True iff the collective completed in time with the full world."""
-        result: list[int] = []
-        err: list[BaseException] = []
-
-        def run():
+        # Discard responses of probes that previously timed out.
+        while self._inflight:
             try:
-                result.append(int(jax.device_get(self._fn(self._arg))))
-            except BaseException as e:  # noqa: BLE001 — device failure boundary
-                err.append(e)
-
-        t = threading.Thread(target=run, daemon=True)
-        t.start()
-        t.join(self.timeout_s)
-        if t.is_alive() or err:
+                self._resp.get_nowait()
+                self._inflight -= 1
+            except queue.Empty:
+                break
+        if self._inflight:
+            # A prior probe is still wedged on the device — unhealthy, and
+            # no point queueing more work behind it.
             return False
-        return result[0] == self.world
+        self._req.put(None)
+        self._inflight += 1
+        try:
+            val = self._resp.get(timeout=self.timeout_s)
+        except queue.Empty:
+            return False
+        self._inflight -= 1
+        return val == self.world
 
 
 class HeartbeatMonitor:
