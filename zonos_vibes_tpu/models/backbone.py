@@ -163,8 +163,9 @@ def _block(
     return x, k_new, v_new
 
 
-def transformer_forward(
-    params: dict,
+def _stack_forward(
+    layers: dict,
+    norm_f: dict | None,
     cfg: BackboneConfig,
     hidden: jnp.ndarray,
     cache: dict,
@@ -174,11 +175,17 @@ def transformer_forward(
     stage_base: jnp.ndarray | None = None,
     pooled: bool = False,
 ):
-    """Run the layer stack on a chunk.
+    """Layer-stack forward over ``layers`` (stacked ``[L, ...]`` params).
+
+    Shared by :func:`transformer_forward` (full stack + final norm) and the
+    pipeline-parallel stage runner (``parallel/pp_backbone.py``), which calls
+    it on each pipe rank's CONTIGUOUS layer shard and applies ``norm_f`` only
+    after the last stage. ``norm_f=None`` skips the final LayerNorm.
 
     Args:
       hidden: ``[B, S, D]`` (S static — full prefix for prefill, 1 for decode).
-      cache: from :func:`allocate_kv_cache`.
+      cache: from :func:`allocate_kv_cache` (leading layer axis must match
+        ``layers``).
       offset: scalar int32 write offset into the cache (``seqlen_offset``).
       lengths_per_sample: ``[B]`` int32 per-row RoPE base positions
         (reference _torch.py:74-75 semantics: ``positions = arange(S) + lps``).
@@ -268,7 +275,7 @@ def transformer_forward(
         return (h, l + 1), (k_new, v_new)
 
     (hidden, _), (k_cols, v_cols) = jax.lax.scan(
-        scan_body, (hidden, jnp.int32(0)), params["layers"]
+        scan_body, (hidden, jnp.int32(0)), layers
     )
     # k_cols/v_cols: [L, B, Hkv, Dh, S].
     zero = jnp.zeros((), jnp.int32)
@@ -313,11 +320,29 @@ def transformer_forward(
         idx = (zero, zero, zero, zero, jnp.asarray(offset, jnp.int32))
         new_cache["k"] = jax.lax.dynamic_update_slice(cache["k"], k_cols, idx)
         new_cache["v"] = jax.lax.dynamic_update_slice(cache["v"], v_cols, idx)
-    hidden = layer_norm(
-        hidden, params["norm_f"]["weight"], params["norm_f"]["bias"],
-        cfg.norm_epsilon,
-    )
+    if norm_f is not None:
+        hidden = layer_norm(
+            hidden, norm_f["weight"], norm_f["bias"], cfg.norm_epsilon
+        )
     return hidden, new_cache
+
+
+def transformer_forward(
+    params: dict,
+    cfg: BackboneConfig,
+    hidden: jnp.ndarray,
+    cache: dict,
+    offset: jnp.ndarray,
+    lengths_per_sample: jnp.ndarray,
+    rope: jnp.ndarray | None = None,
+    stage_base: jnp.ndarray | None = None,
+    pooled: bool = False,
+):
+    """Full layer stack + final LayerNorm (see :func:`_stack_forward`)."""
+    return _stack_forward(
+        params["layers"], params["norm_f"], cfg, hidden, cache, offset,
+        lengths_per_sample, rope, stage_base=stage_base, pooled=pooled,
+    )
 
 
 class TransformerBackbone:

@@ -23,6 +23,7 @@ from ..config import MeshConfig
 from ..engine.generate import GenerateResult, generate_jit
 from ..models.zonos import ZonosModel
 from ..ops.sampling import SamplingParams
+from .pp_backbone import PipelinedZonosModel, pp_zonos_param_specs
 from .sharding import DATA, make_mesh, shard_pytree, zonos_param_specs
 
 
@@ -99,4 +100,30 @@ class ParallelEngine:
             )
         return GenerateResult(
             codes=codes, valid_length=valid, valid_lengths=valid_rows
+        )
+
+
+class PipelineEngine(ParallelEngine):
+    """Generation with the backbone layer stack pipeline-staged over the
+    ``pipe`` mesh axis (real-model PP: per-stage KV shards, ppermute hidden
+    handoff, microbatch tick schedule — parallel/pp_backbone.py). Composes
+    with ``data`` for DP; ``model`` must be 1 (TP inside a pipe stage is a
+    separate spec table, future work)."""
+
+    def __init__(self, model: ZonosModel, mesh_config: MeshConfig,
+                 params: dict, n_micro: int = 1):
+        if mesh_config.pipe < 2:
+            raise ValueError("PipelineEngine needs a pipe axis >= 2")
+        if mesh_config.model != 1:
+            raise ValueError("PipelineEngine composes pipe x data only")
+        self.mesh = make_mesh(mesh_config)
+        self.mesh_config = mesh_config
+        self.model = PipelinedZonosModel(
+            config=model.config,
+            backbone_name=model.backbone_name,
+            pipe_micro=n_micro,
+            pp_mesh=self.mesh,
+        )
+        self.params = shard_pytree(
+            params, pp_zonos_param_specs(params), self.mesh
         )
