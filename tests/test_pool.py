@@ -114,3 +114,78 @@ def test_pool_slot_reuse():
     codes2, v2 = plib.extract_row(model, pool, 0)
     assert v1 == v2
     np.testing.assert_array_equal(np.asarray(codes1), np.asarray(codes2))
+
+
+# ---------------------------------------------------------------------------
+# Hybrid (Mamba-2 + attention) backbone in the pool (VERDICT r1, missing #4):
+# Mamba conv/SSM state is per-row recurrent state, attention layers use the
+# per-row pooled position machinery.
+# ---------------------------------------------------------------------------
+
+from tests.test_parallel import TINY_HYBRID  # noqa: E402
+
+PC_H = plib.PoolConfig(slots=2, max_cond_len=16, max_new_tokens=24)
+
+
+def _setup_hybrid():
+    model = ZonosModel(TINY_HYBRID)
+    params = model.init(jax.random.key(3), jnp.float32)
+    return model, params
+
+
+def test_hybrid_pool_greedy_matches_engine():
+    """A pooled hybrid row under greedy decoding emits exactly the standard
+    engine's codes — per-row SSM/conv state at independent positions."""
+    model, params = _setup_hybrid()
+    engine = DecodeEngine(model)
+    cond = _cond(model, params, [2, 10, 20, 30, 3])
+    mnt = 16
+
+    ref = engine.generate(params, cond, key=jax.random.key(7),
+                          max_new_tokens=mnt, sampling_params=GREEDY)
+
+    pool = plib.make_pool(model, PC_H, jnp.float32)
+    pool = _run_pool_row(model, params, pool, 0, cond, mnt, seed=7)
+    while not plib.row_finished(pool, 0):
+        pool = plib.pool_steps_jit(model, params, pool, jax.random.key(0),
+                                   5, 2.0, GREEDY)
+    codes, valid = plib.extract_row(model, pool, 0)
+    assert valid == int(ref.valid_length)
+    np.testing.assert_array_equal(
+        np.asarray(codes), np.asarray(ref.codes[0, :, :valid])
+    )
+
+
+def test_hybrid_pool_row_isolation_staggered_join():
+    """Hybrid rows are isolated: A's codes are identical whether it decodes
+    alone or with B joining mid-flight at a different position."""
+    model, params = _setup_hybrid()
+    cond_a = _cond(model, params, [2, 5, 6, 7, 3])
+    cond_b = _cond(model, params, [2, 9, 8, 3])
+    mnt = 14
+    base = jax.random.key(42)
+
+    def run(join_b_after):
+        pool = plib.make_pool(model, PC_H, jnp.float32)
+        pool = _run_pool_row(model, params, pool, 0, cond_a, mnt, seed=1)
+        if join_b_after is not None:
+            pool = plib.pool_steps_jit(model, params, pool, base,
+                                       join_b_after, 2.0, GREEDY)
+            pool = _run_pool_row(model, params, pool, 1, cond_b, mnt, seed=2)
+        for _ in range(30):
+            pool = plib.pool_steps_jit(model, params, pool, base, 5, 2.0,
+                                       GREEDY)
+            if plib.row_finished(pool, 0) and (
+                join_b_after is None or plib.row_finished(pool, 1)
+            ):
+                break
+        a = plib.extract_row(model, pool, 0)
+        b = plib.extract_row(model, pool, 1) if join_b_after is not None else None
+        return a, b
+
+    a_solo, _ = run(None)
+    a_shared, b_shared = run(3)
+    np.testing.assert_array_equal(np.asarray(a_solo[0]),
+                                  np.asarray(a_shared[0]))
+    assert a_solo[1] == a_shared[1]
+    assert b_shared is not None and b_shared[1] > 0

@@ -63,12 +63,16 @@ def _pool_cache_len(model: ZonosModel, pc: PoolConfig) -> int:
 
 
 def make_pool(model: ZonosModel, pc: PoolConfig, dtype=jnp.bfloat16) -> dict:
-    """All-slots-free pool state. The cache is the plain {k, v} pair —
-    pooled mode splices columns per row directly (no stage)."""
+    """All-slots-free pool state. For the transformer the cache is the plain
+    {k, v} pair — pooled mode splices columns per row directly (no stage).
+    The hybrid cache pytree ({attn, runs, solo}) pools as-is: Mamba conv/SSM
+    state is per-row recurrent state with no position, so only its attention
+    layers participate in the per-row position machinery."""
     K = model.config.num_codebooks
     T = _pool_cache_len(model, pc)
     cache = model.allocate_cache(2 * pc.slots, T, dtype)
-    cache = {"k": cache["k"], "v": cache["v"]}
+    if "k" in cache:
+        cache = {"k": cache["k"], "v": cache["v"]}
     lbuf = pc.max_new_tokens + K
     S = pc.slots
     return {
@@ -103,28 +107,69 @@ def prefill_request(
     )
 
 
+def _splice_cache_rows(pool_cache: dict, req_cache: dict, slot: int,
+                       n_slots: int) -> dict:
+    """Copy the request's (cond, uncond) cache rows into pool rows
+    ``(slot, n_slots + slot)``. The request cache may be shorter in T (its
+    own cond bucket) — trailing positions are written later by pooled steps.
+    Handles both cache layouts: transformer ``{k, v}`` [L, B, Hkv, Dh, T]
+    (batch dim 1) and hybrid ``{attn, runs, solo}`` (batch dim 0 for attn KV
+    and solo states, dim 1 for run-stacked states)."""
+    pairs = ((slot, 0), (n_slots + slot, 1))
+
+    def row_splice(dst_leaf, src_leaf, bdim):
+        out = dst_leaf
+        for dst, src in pairs:
+            row = jax.lax.dynamic_slice_in_dim(src_leaf, src, 1, axis=bdim)
+            start = [jnp.int32(0)] * dst_leaf.ndim
+            start[bdim] = jnp.int32(dst)
+            out = jax.lax.dynamic_update_slice(out, row, tuple(start))
+        return out
+
+    if "k" in pool_cache:
+        return {
+            kk: row_splice(pool_cache[kk], req_cache[kk], 1)
+            for kk in ("k", "v")
+        }
+    return {
+        "attn": {
+            name: {
+                kk: row_splice(kv[kk], req_cache["attn"][name][kk], 0)
+                for kk in ("k", "v")
+            }
+            for name, kv in pool_cache["attn"].items()
+        },
+        "runs": [
+            {
+                kk: row_splice(run[kk], req_run[kk], 1)
+                for kk in ("conv", "ssm")
+            }
+            for run, req_run in zip(pool_cache["runs"], req_cache["runs"])
+        ],
+        "solo": {
+            name: {
+                kk: row_splice(st[kk], req_cache["solo"][name][kk], 0)
+                for kk in ("conv", "ssm")
+            }
+            for name, st in pool_cache["solo"].items()
+        },
+    }
+
+
 @functools.partial(jax.jit, static_argnames=("slot",))
 def join(pool: dict, req_state: dict, slot: int, cond_len, row_seed) -> dict:
     """Splice a prefilled request into ``slot`` (cond row ``slot``, uncond
-    row ``slots + slot``). The request cache is shorter in T (its own
-    cond bucket); positions beyond its prefix are written later by pooled
-    steps."""
+    row ``slots + slot``)."""
     S = pool["active"].shape[0]
     zero = jnp.zeros((), jnp.int32)
-    cache = pool["cache"]
-    rk, rv = req_state["cache"]["k"], req_state["cache"]["v"]
-    nk, nv = cache["k"], cache["v"]
-    for dst, src in ((slot, 0), (S + slot, 1)):
-        idx = (zero, jnp.int32(dst), zero, zero, zero)
-        nk = jax.lax.dynamic_update_slice(nk, rk[:, src : src + 1], idx)
-        nv = jax.lax.dynamic_update_slice(nv, rv[:, src : src + 1], idx)
+    cache = _splice_cache_rows(pool["cache"], req_state["cache"], slot, S)
     delayed = jax.lax.dynamic_update_slice(
         pool["delayed"], req_state["delayed"],
         (jnp.int32(slot), zero, zero),
     )
     upd = lambda arr, v: arr.at[slot].set(v)
     return {
-        "cache": {"k": nk, "v": nv},
+        "cache": cache,
         "delayed": delayed,
         "pos": upd(pool["pos"], jnp.asarray(cond_len, jnp.int32)
                    + req_state["offset"]),

@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from ..config import BackboneConfig
 from ..ops.attention import (
     decode_attention_auto,
+    decode_attention_pooled_auto,
     prefill_attention_auto,
     update_kv_cache,
 )
@@ -288,7 +289,8 @@ class HybridBackbone:
         out = proj_matmul(y, lp["out_proj"])
         return out, {"conv": conv_state, "ssm": ssm_state}
 
-    def _attn_mixer(self, lp, x, cache, offset, positions, is_decode: bool):
+    def _attn_mixer(self, lp, x, cache, offset, positions, is_decode: bool,
+                    row_pos=None):
         B, S, D = x.shape
         Hq, Hkv, Dh = self.num_heads, self.num_heads_kv, self.head_dim
         qkv = proj_matmul(x, lp["in_proj"])
@@ -298,6 +300,25 @@ class HybridBackbone:
         v = v.reshape(B, S, Hkv, Dh)
         q = apply_rope_half(q, positions, self.rotary_dim)
         k = apply_rope_half(k, positions, self.rotary_dim)
+        if row_pos is not None:
+            # Pooled decode: every row sits at its OWN cache position —
+            # per-row attention bounds (pooled kernel, L=1 view) and
+            # per-row column writes (engine/pool.py).
+            cdtype = cache["k"].dtype
+            k_col = k.astype(cdtype).transpose(0, 2, 3, 1)  # [B,Hkv,Dh,1]
+            v_col = v.astype(cdtype).transpose(0, 2, 3, 1)
+            y = decode_attention_pooled_auto(
+                q, cache["k"][None], cache["v"][None], k_col, v_col,
+                row_pos, jnp.int32(0),
+            )
+            zero = jnp.zeros((), jnp.int32)
+            nk, nv = cache["k"], cache["v"]
+            for b in range(B):
+                idx = (jnp.int32(b), zero, zero, row_pos[b])
+                nk = jax.lax.dynamic_update_slice(nk, k_col[b : b + 1], idx)
+                nv = jax.lax.dynamic_update_slice(nv, v_col[b : b + 1], idx)
+            out = proj_matmul(y.reshape(B, S, Hq * Dh), lp["out_proj"])
+            return out, {"k": nk, "v": nv}
         k_cache, v_cache = update_kv_cache(cache["k"], cache["v"], k, v, offset)
         if is_decode:
             y = decode_attention_auto(q, k_cache, v_cache, offset + S)
@@ -316,7 +337,12 @@ class HybridBackbone:
         offset: jnp.ndarray,
         lengths_per_sample: jnp.ndarray,
         rope=None,  # unused (per-layer rotary); kept for interface parity
+        pooled: bool = False,
     ):
+        """``pooled``: continuous-batching decode — every row at its OWN
+        cache position (``lengths_per_sample``). Mamba conv/SSM recurrent
+        state is position-independent, so only the attention layers need
+        per-row bounds and writes; the SSM stream is already per-row."""
         cfg = self.cfg
         B, S, D = hidden.shape
         positions = (
@@ -324,6 +350,10 @@ class HybridBackbone:
             + lengths_per_sample.astype(jnp.int32)[:, None]
         )
         is_decode = S == 1
+        row_pos = (
+            lengths_per_sample.astype(jnp.int32)
+            if (pooled and is_decode) else None
+        )
         rdtype = jnp.float32 if cfg.residual_in_fp32 else hidden.dtype
         residual = jnp.zeros_like(hidden, rdtype)  # x + 0 == x
 
@@ -341,7 +371,7 @@ class HybridBackbone:
                 normed, residual = layer_prologue(lp, hidden, residual)
                 hidden, c = self._attn_mixer(
                     lp, normed, cache["attn"][str(i)], offset, positions,
-                    is_decode,
+                    is_decode, row_pos=row_pos,
                 )
                 if "fc1" in lp:
                     residual = hidden.astype(rdtype) + residual

@@ -179,7 +179,7 @@ class TTSServer:
         # paying full bandwidth as interleaved solo jobs.
         self.pooled = pooled
         self.pool_slots = pool_slots
-        self._pool_job = None  # lazy _PoolJob
+        self._pool_jobs: dict = {}  # model name -> lazy _PoolJob
         self.queue: "queue.Queue[_Request]" = queue.Queue()
         self.metrics = Metrics()
         from collections import OrderedDict
@@ -639,14 +639,15 @@ class TTSServer:
 
     def _pool_eligible(self, r: dict) -> bool:
         """Pool rows share one compiled step, so they must share the pool's
-        static config: default model, default cfg/sampling, no stream, no
-        audio prefix, and fit the pool's token ceiling. Everything else
+        static config: default cfg/sampling, no stream, no audio prefix, and
+        fit the pool's token ceiling. Any served model qualifies — each
+        pipeline (transformer or hybrid) gets its own pool. Everything else
         takes the regular job path."""
         from ..engine.pool import PoolConfig
 
         return (
             not r["stream"]
-            and r["model"] == "default"
+            and r["model"] in self.pipelines
             and r["prefix_codes"] is None
             and r["cfg_scale"] == self.POOL_CFG_SCALE
             and r["sampling"] == DEFAULT_SAMPLING
@@ -654,11 +655,13 @@ class TTSServer:
         )
 
     def _pool_admit(self, req: _Request, r: dict, jobs: list) -> bool:
-        """Prefill + join into a free slot; returns False when the pool is
-        full (caller falls back to the job path)."""
-        if self._pool_job is None:
-            self._pool_job = _PoolJob(self)
-        return self._pool_job.admit(req, r, jobs)
+        """Prefill + join into a free slot of the request's model's pool;
+        returns False when that pool is full (caller falls back to the job
+        path)."""
+        name = r["model"]
+        if name not in self._pool_jobs:
+            self._pool_jobs[name] = _PoolJob(self, name)
+        return self._pool_jobs[name].admit(req, r, jobs)
 
     # -- HTTP plumbing ------------------------------------------------------
 
@@ -973,12 +976,12 @@ class _PoolJob:
     the job list while any row is active, so it round-robins with regular
     jobs."""
 
-    def __init__(self, srv: TTSServer):
+    def __init__(self, srv: TTSServer, model_name: str = "default"):
         from ..engine import pool as plib
 
         self.srv = srv
         self.plib = plib
-        self.pipe = srv.pipelines["default"]
+        self.pipe = srv.pipelines[model_name]
         self.pc = plib.PoolConfig(slots=srv.pool_slots)
         self.pool = self._fresh_pool()
         self.base_key = jax.random.key(srv.seed)
