@@ -643,3 +643,46 @@ def test_pooled_server_hybrid_requests(pipe):
         assert srv.metrics.snapshot()["pooled_requests"] == 3
     finally:
         srv.shutdown()
+
+def test_server_base64_audio_upload(server):
+    """Upload parity with the reference Gradio UI
+    (gradio_interface.py:240-244): speaker and prefix audio travel inline
+    as base64 WAV in the /tts payload — no server-side file needed."""
+    import base64
+
+    sr = 16000
+    wav = (0.1 * np.sin(np.linspace(0, 880 * np.pi, sr))).astype(np.float32)
+    b64 = base64.b64encode(wav_bytes(wav, sr)).decode()
+
+    status, ctype, body = _post(
+        "http://127.0.0.1:5099/tts",
+        {"text": "Uploaded speaker.", "speaker_audio": b64,
+         "max_new_tokens": 6},
+    )
+    assert status == 200, body[:200]
+    assert ctype == "audio/wav" and len(body) > 44
+
+    # Same bytes again -> content-digest cache hit (one embed compute).
+    status2, _, _ = _post(
+        "http://127.0.0.1:5099/tts",
+        {"text": "Again.", "speaker_audio": b64, "max_new_tokens": 6},
+    )
+    assert status2 == 200
+    spk_keys = [k for k in server._spk_cache if "spk-b64" in k]
+    assert len(spk_keys) == 1
+
+    # Prefix upload: short DAC-encodable clip.
+    status3, _, body3 = _post(
+        "http://127.0.0.1:5099/tts",
+        {"text": "Continue this.", "prefix_audio": b64,
+         "emotion": [0.3, 0.03, 0.03, 0.03, 0.03, 0.03, 0.25, 0.3],
+         "max_new_tokens": 6},
+    )
+    assert status3 == 200, body3[:200]
+
+    # Garbage base64 -> 400, not a crash.
+    status4, _, body4 = _post(
+        "http://127.0.0.1:5099/tts",
+        {"text": "x", "speaker_audio": "!!!not-base64!!!"},
+    )
+    assert status4 == 400 and b"speaker_audio" in body4

@@ -21,6 +21,8 @@ language?}`` -> ``audio/wav``), re-engineered for production serving:
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import io
 import json
 import queue
@@ -58,8 +60,9 @@ def wav_bytes(wav: np.ndarray, sample_rate: int) -> bytes:
     return buf.getvalue()
 
 
-def read_wav(path: str) -> tuple[np.ndarray, int]:
-    """Load a WAV file to float32 ``[C, T]`` + sample rate (stdlib)."""
+def read_wav(path) -> tuple[np.ndarray, int]:
+    """Load a WAV file (path or file-like) to float32 ``[C, T]`` + sample
+    rate (stdlib)."""
     with wave.open(path, "rb") as w:
         sr = w.getframerate()
         n = w.getnframes()
@@ -193,45 +196,60 @@ class TTSServer:
     # -- speaker cache (reference server.py:38-57) --------------------------
 
     SPK_CACHE_MAX = 256  # LRU bound: one [1,1,128] array per entry
+    PREFIX_CACHE_MAX = 64  # LRU bound: one [1, 9, Lp] int32 array per entry
 
-    def _speaker_embedding(self, path: str, model: str = "default"):
-        key = (model, path)
+    def _cached(self, key: tuple, compute):
+        """Shared LRU for speaker embeddings and prefix codes. One combined
+        bound: both insertion paths must enforce the same limit, or one
+        path evicts the other's entries far below its intended budget."""
         with self._spk_lock:
             if key in self._spk_cache:
                 self._spk_cache.move_to_end(key)
                 return self._spk_cache[key]
-        wav, sr = read_wav(path)
-        emb = self.pipelines[model].make_speaker_embedding(wav, sr)
+        val = compute()
         with self._spk_lock:
-            self._spk_cache[key] = emb
-            # Shared LRU with the prefix-codes entries: both insertion paths
-            # must enforce the same combined bound, or one path evicts the
-            # other's entries far below its intended budget.
+            self._spk_cache[key] = val
             while len(self._spk_cache) > self.SPK_CACHE_MAX + self.PREFIX_CACHE_MAX:
                 self._spk_cache.popitem(last=False)
-        return emb
+        return val
+
+    def _speaker_embedding(self, src, model: str = "default"):
+        """``src``: a server-side path (reference server.py:66-70 contract)
+        or uploaded WAV ``bytes`` (the reference Gradio UI accepts uploads,
+        gradio_interface.py:240-244) — upload entries cache by content
+        digest."""
+        if isinstance(src, bytes):
+            key = (model, "spk-b64", hashlib.sha1(src).hexdigest())
+            load = lambda: read_wav(io.BytesIO(src))
+        else:
+            key = (model, src)
+            load = lambda: read_wav(src)
+
+        def compute():
+            wav, sr = load()
+            return self.pipelines[model].make_speaker_embedding(wav, sr)
+
+        return self._cached(key, compute)
 
     # -- audio-prefix cache (reference gradio_interface.py:153-159) ---------
 
-    PREFIX_CACHE_MAX = 64  # LRU bound: one [1, 9, Lp] int32 array per entry
+    def _prefix_codes(self, src, model: str = "default"):
+        """DAC-encode audio (server-side path or uploaded WAV bytes) for
+        continuation. Cached like the speaker cache; each distinct prefix
+        LENGTH compiles a fresh decode program (lengths are static shapes),
+        so callers should reuse a stable set of prefix files."""
+        if isinstance(src, bytes):
+            key = ("prefix", model, "b64", hashlib.sha1(src).hexdigest())
+            load = lambda: read_wav(io.BytesIO(src))
+        else:
+            key = ("prefix", model, src)
+            load = lambda: read_wav(src)
 
-    def _prefix_codes(self, path: str, model: str = "default"):
-        """DAC-encode a server-side audio file for continuation. Cached by
-        (model, path) like the speaker cache; each distinct prefix LENGTH
-        compiles a fresh decode program (lengths are static shapes), so
-        callers should reuse a stable set of prefix files."""
-        key = ("prefix", model, path)
-        with self._spk_lock:
-            if key in self._spk_cache:
-                self._spk_cache.move_to_end(key)
-                return self._spk_cache[key]
-        wav, sr = read_wav(path)
-        codes = self.pipelines[model].encode_audio(wav, sr)
-        with self._spk_lock:
-            self._spk_cache[key] = codes
-            while len(self._spk_cache) > self.SPK_CACHE_MAX + self.PREFIX_CACHE_MAX:
-                self._spk_cache.popitem(last=False)
-        return codes
+        def compute():
+            wav, sr = load()
+            return self.pipelines[model].encode_audio(wav, sr)
+
+        return self._cached(key, compute)
 
     # -- request processing (single-owner worker) ---------------------------
 
@@ -249,8 +267,11 @@ class TTSServer:
                  "available": sorted(self.pipelines)}
             ).encode()
         speaker_path = p.get("speaker_audio_path")
+        speaker_b64 = p.get("speaker_audio")  # base64 WAV upload
         # The reference /tts requires a speaker path (server.py:66-70); the
-        # extended UI payload may omit it to use the learned uncond speaker.
+        # extended UI payload may omit it to use the learned uncond speaker
+        # or carry the audio inline (upload parity with the reference Gradio
+        # UI, gradio_interface.py:240-244).
         speaker = None
         if speaker_path:
             try:
@@ -258,6 +279,15 @@ class TTSServer:
             except FileNotFoundError:
                 return 404, "application/json", json.dumps(
                     {"error": f"Speaker audio not found: {speaker_path}"}
+                ).encode()
+        elif speaker_b64:
+            try:
+                raw = base64.b64decode(speaker_b64, validate=True)
+                speaker = self._speaker_embedding(raw, model)
+                speaker_path = "b64:" + hashlib.sha1(raw).hexdigest()
+            except Exception:
+                return 400, "application/json", json.dumps(
+                    {"error": "Invalid speaker_audio (expect base64 WAV)"}
                 ).encode()
         elif not p.get("allow_unconditional_speaker", True) or "emotion" not in p:
             # Bare reference-contract request without a speaker -> 400, same
@@ -268,6 +298,7 @@ class TTSServer:
             ).encode()
 
         prefix_path = p.get("prefix_audio_path")
+        prefix_b64 = p.get("prefix_audio")  # base64 WAV upload
         prefix_codes = None
         if prefix_path:
             try:
@@ -275,6 +306,15 @@ class TTSServer:
             except FileNotFoundError:
                 return 404, "application/json", json.dumps(
                     {"error": f"Prefix audio not found: {prefix_path}"}
+                ).encode()
+        elif prefix_b64:
+            try:
+                raw = base64.b64decode(prefix_b64, validate=True)
+                prefix_codes = self._prefix_codes(raw, model)
+                prefix_path = "b64:" + hashlib.sha1(raw).hexdigest()
+            except Exception:
+                return 400, "application/json", json.dumps(
+                    {"error": "Invalid prefix_audio (expect base64 WAV)"}
                 ).encode()
 
         uncond = tuple(sorted(p.get("unconditional_keys", DEFAULT_UNCONDITIONAL)))

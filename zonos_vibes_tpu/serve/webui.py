@@ -3,7 +3,9 @@ ships a Gradio app, gradio_interface.py:1-419; gradio isn't available here,
 and a dependency-free page serves the same control surface).
 
 Controls mirror the reference UI (gradio_interface.py:219-301): text (max
-500 chars), language, speaker audio + prefix audio (server-side paths), 8 emotion sliders,
+500 chars), language, speaker audio + prefix audio (file uploads sent as
+base64 WAV, or server-side paths), a progress estimate driven by the live
+/metrics RTF (reference progress bar, gradio_interface.py:182-187), 8 emotion sliders,
 vq_single broadcast to 8, fmax, pitch_std, speaking_rate, dnsmos, speaker
 noised, CFG scale, seed + randomize, unified-sampler sliders (linear 0.5 /
 conf 0.40 / quad 0) and legacy top-p/top-k/min-p, unconditional-keys
@@ -33,8 +35,10 @@ INDEX_HTML = """<!doctype html>
   <textarea id="text" rows="3" maxlength="500">Zonos uses eSpeak for text to phoneme conversion, and a DAC autoencoder.</textarea>
   <label>Language <select id="language"></select></label>
   <label>Model <select id="model"><option value="default" selected>default</option></select></label>
-  <label>Speaker wav path <input id="speaker" size="38" placeholder="/path/to/speaker.wav"></input></label>
-  <label>Prefix audio path <input id="prefix" size="38" placeholder="/path/to/prefix.wav (continuation)"></input></label>
+  <label>Speaker wav <input type="file" id="speaker_file" accept=".wav,audio/wav"></label>
+  <label>&nbsp;&nbsp;or server path <input id="speaker" size="32" placeholder="/path/to/speaker.wav"></input></label>
+  <label>Prefix audio <input type="file" id="prefix_file" accept=".wav,audio/wav"></label>
+  <label>&nbsp;&nbsp;or server path <input id="prefix" size="32" placeholder="/path/to/prefix.wav (continuation)"></input></label>
 </fieldset>
 <fieldset><legend>Conditioning</legend>
   <div id="sliders"></div>
@@ -112,6 +116,29 @@ function applyVisibility(have) {
 SAMPLING.forEach(s => slider(document.getElementById("sampling"), ...s));
 EMOTIONS.forEach((e, i) => slider(document.getElementById("emotions"), "emo_" + e, 0, 1, EMO_DEFAULT[i], 0.01));
 const val = id => parseFloat(document.getElementById(id).value);
+// Uploaded audio travels inline as base64 WAV (reference Gradio UI accepts
+// uploads, gradio_interface.py:240-244); server paths remain supported.
+function fileB64(id) {
+  const f = document.getElementById(id).files[0];
+  if (!f) return Promise.resolve(null);
+  return new Promise((res, rej) => {
+    const r = new FileReader();
+    r.onload = () => res(r.result.split(",")[1]);
+    r.onerror = rej;
+    r.readAsDataURL(f);
+  });
+}
+// Progress estimate (reference gradio_interface.py:182-187): expected wall
+// time from the live /metrics RTF and the requested audio length.
+let progressTimer = null;
+function startProgress(status, expectedSeconds) {
+  const t0 = Date.now();
+  progressTimer = setInterval(() => {
+    const frac = Math.min(0.99, (Date.now() - t0) / 1000 / expectedSeconds);
+    status.textContent = `generating... ${Math.round(frac * 100)}% (est ${expectedSeconds.toFixed(0)}s)`;
+  }, 250);
+}
+function stopProgress() { if (progressTimer) { clearInterval(progressTimer); progressTimer = null; } }
 async function generate() {
   const status = document.getElementById("status");
   status.textContent = "generating...";
@@ -119,12 +146,20 @@ async function generate() {
   const uncond = [];
   if (document.getElementById("uncond_emotion").checked) uncond.push("emotion");
   uncond.push("vqscore_8", "dnsmos_ovrl");
+  let rtf = 1.0;
+  try {
+    const m = await (await fetch("/metrics")).json();
+    if (m.rtf > 0.05) rtf = m.rtf;
+  } catch (e) {}
+  startProgress(status, val("max_seconds") / rtf + 1);
   const payload = {
     model: document.getElementById("model").value,
     text: document.getElementById("text").value,
     language: document.getElementById("language").value,
     speaker_audio_path: document.getElementById("speaker").value || null,
     prefix_audio_path: document.getElementById("prefix").value || null,
+    speaker_audio: await fileB64("speaker_file"),
+    prefix_audio: await fileB64("prefix_file"),
     emotion: EMOTIONS.map(e => val("emo_" + e)),
     vqscore_8: Array(8).fill(val("vq_single")),
     fmax: val("fmax"), pitch_std: val("pitch_std"),
@@ -139,13 +174,14 @@ async function generate() {
   try {
     const r = await fetch("/tts", {method: "POST", headers: {"Content-Type": "application/json"},
                                    body: JSON.stringify(payload)});
+    stopProgress();
     if (!r.ok) { status.textContent = "error: " + (await r.text()).slice(0, 200); return; }
     const blob = await r.blob();
     document.getElementById("player").src = URL.createObjectURL(blob);
     document.getElementById("player").play();
     status.textContent = "done";
-  } catch (e) { status.textContent = "error: " + e; }
-  finally { document.getElementById("go").disabled = false; }
+  } catch (e) { stopProgress(); status.textContent = "error: " + e; }
+  finally { stopProgress(); document.getElementById("go").disabled = false; }
 }
 </script>
 </body>
