@@ -159,3 +159,48 @@ def test_params_cache_roundtrip_quantized_hybrid(tmp_path):
         params, back,
     ))
     assert back["backbone"]["layers"][0]["in_proj"]["weight_int8"].dtype == jnp.int8
+
+
+def test_verify_checkpoint_missing_report(tmp_path):
+    """tools/verify_checkpoint.py with no artifacts prints exactly what is
+    missing + where it looked, and exits 1 (VERDICT r1, next #5)."""
+    import os
+    import subprocess
+    import sys
+
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "HF_HOME": str(tmp_path / "hf"),
+           "HUGGINGFACE_HUB_CACHE": str(tmp_path / "hub")}
+    r = subprocess.run(
+        [sys.executable, "tools/verify_checkpoint.py", "--model",
+         "transformer"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 1
+    assert "MISSING" in r.stdout
+    assert str(tmp_path / "hub") in r.stdout  # names the searched caches
+    assert "Zyphra/Zonos-v0.1-transformer" in r.stdout
+    assert "espeak" in r.stdout  # phonemizer prerequisite named
+
+
+def test_verify_checkpoint_selftest_end_to_end():
+    """--selftest: builds a random-init checkpoint THROUGH the reference
+    code and validates it end-to-end including the golden compare — proof
+    the verification path activates the moment real artifacts appear."""
+    import os
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/verify_checkpoint.py", "--selftest",
+         "--golden"],
+        capture_output=True, text=True, timeout=1200,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    for stage in ("load", "cond", "generate", "vocode", "golden"):
+        assert f"{stage}" in r.stdout
+    assert "FAIL" not in r.stdout
+    assert r.stdout.count("PASS") >= 6

@@ -202,3 +202,102 @@ def test_waveform_parity(pipe):
     wav = pipe.decode_audio(jnp.asarray(d["codes"]))
     ref = d["wav"].reshape(wav.shape)
     np.testing.assert_allclose(wav, ref, rtol=5e-3, atol=5e-3)
+
+# ---------------------------------------------------------------------------
+# bf16 tolerances (VERDICT r1, missing #1): real checkpoints run bf16; these
+# grade the bf16 path against the reference's fp32 capture with documented
+# tolerances (fp32 exact-code parity above cannot see bf16-only bugs).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pipe_bf16():
+    import jax.numpy as jnp
+
+    from zonos_vibes_tpu.pipeline import ZonosPipeline
+
+    return ZonosPipeline.from_local(
+        os.path.join(GOLDEN, "config.json"),
+        os.path.join(GOLDEN, "model.safetensors"),
+        dtype=jnp.bfloat16,
+    )
+
+
+def test_bf16_conditioning_tolerance(pipe_bf16):
+    import jax.numpy as jnp
+
+    d = np.load(os.path.join(GOLDEN, "conditioning.npz"))
+    cond_dict = {
+        k[5:]: jnp.asarray(d[k]) for k in d.files if k.startswith("cond_")
+    }
+    ours = np.asarray(
+        pipe_bf16.prepare_conditioning(cond_dict), np.float32
+    )
+    # bf16 has ~3 decimal digits; conditioning values are O(1).
+    np.testing.assert_allclose(ours, d["prefix"], rtol=2e-2, atol=2e-2)
+
+
+def test_bf16_prefill_logits_tolerance(pipe):
+    """Our bf16 prefill logits (CFG-mixed, the exact tensor the first
+    sampling call sees, model.py:258-264) vs the reference's recorded fp32
+    logits; also requires greedy argmax agreement on every codebook.
+
+    On TPU this runs the real bf16 program. XLA:CPU cannot execute the
+    bf16 x bf16 -> f32 dots the logit path uses, so there the test grades
+    bf16 WEIGHT STORAGE (params round-tripped through bf16 into an fp32
+    program) — the dominant bf16 error source for weight-bound inference."""
+    import jax
+    import jax.numpy as jnp
+
+    from zonos_vibes_tpu.engine.generate import UNKNOWN_TOKEN
+    from zonos_vibes_tpu.ops.delay_pattern import apply_delay_pattern
+    from zonos_vibes_tpu.ops.rope import rope_table
+
+    path = os.path.join(GOLDEN, "prefill_logits.npz")
+    if not os.path.exists(path):
+        pytest.skip("capture predates prefill-logits recording")
+    d = np.load(path)
+    cond_dict = {
+        k[5:]: jnp.asarray(d[k]) for k in d.files if k.startswith("cond_")
+    }
+    on_tpu = jax.default_backend() == "tpu"
+    model = pipe.model
+    cfg = model.config
+    K = cfg.num_codebooks
+    if on_tpu:
+        from zonos_vibes_tpu.pipeline import ZonosPipeline
+
+        p = ZonosPipeline.from_local(
+            os.path.join(GOLDEN, "config.json"),
+            os.path.join(GOLDEN, "model.safetensors"),
+            dtype=jnp.bfloat16,
+        )
+        params, act_dtype, cache_dtype = p.params, jnp.bfloat16, jnp.bfloat16
+        cond = p.prepare_conditioning(cond_dict)
+    else:
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16).astype(jnp.float32)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            pipe.params,
+        )
+        act_dtype, cache_dtype = jnp.float32, jnp.float32
+        cond = model.prepare_conditioning(params, cond_dict)
+
+    codes = jnp.full((1, K, 8), UNKNOWN_TOKEN, jnp.int32)
+    delayed = apply_delay_pattern(codes, cfg.masked_token_id)
+    emb = model.embed_codes(params, delayed[..., :1])
+    emb = jnp.concatenate([emb, emb], axis=0)
+    hidden = jnp.concatenate([cond.astype(act_dtype), emb.astype(act_dtype)],
+                             axis=1)
+    cache = model.allocate_cache(2, 64, cache_dtype)
+    logits, _ = model.compute_logits(
+        params, hidden, cache, jnp.int32(0), jnp.zeros((2,), jnp.int32),
+        2.0, rope_table(cfg.backbone.head_dim),
+    )
+    ours = np.asarray(logits, np.float32)[..., :1025]
+    ref = d["logits"][..., :1025]
+    # Logit-scale tolerance: bf16 params (and on TPU, activations) through
+    # the full stack.
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(ours, ref, atol=0.05 * scale, rtol=0.05)
+    np.testing.assert_array_equal(ours.argmax(-1), ref.argmax(-1))

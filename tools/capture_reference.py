@@ -185,13 +185,33 @@ def capture_stages(model, out: str, text: str, language: str,
     np.savez(os.path.join(out, "conditioning.npz"),
              prefix=cond.float().numpy(), **cond_inputs)
 
-    # Stage 3+4: greedy decode + codes (CFG 2.0, no torch.compile)
-    with torch.inference_mode():
-        codes = model.generate(
-            cond, max_new_tokens=steps, batch_size=1,
-            sampling_params=dict(temperature=0.0), progress_bar=False,
-            disable_torch_compile=True,
-        )
+    # Stage 3+4: greedy decode + codes (CFG 2.0, no torch.compile).
+    # Record the FIRST sampling call's input — the CFG-mixed prefill logits
+    # (model.py:258-264) — as a numeric target for bf16-tolerance parity
+    # (real checkpoints run bf16; fp32 exact-code parity alone can't grade
+    # the bf16 path).
+    import zonos.model as zmodel
+
+    first_logits: dict = {}
+    orig_sample = zmodel.sample_from_logits
+
+    def recording_sample(logits, *a, **k):
+        if "logits" not in first_logits:
+            first_logits["logits"] = logits.float().cpu().numpy()
+        return orig_sample(logits, *a, **k)
+
+    zmodel.sample_from_logits = recording_sample
+    try:
+        with torch.inference_mode():
+            codes = model.generate(
+                cond, max_new_tokens=steps, batch_size=1,
+                sampling_params=dict(temperature=0.0), progress_bar=False,
+                disable_torch_compile=True,
+            )
+    finally:
+        zmodel.sample_from_logits = orig_sample
+    np.savez(os.path.join(out, "prefill_logits.npz"),
+             logits=first_logits["logits"], **cond_inputs)
     codes_np = codes.cpu().numpy()
     if codes_np.shape[-1] != steps:
         raise SystemExit(
@@ -348,6 +368,93 @@ def capture_checkpoint(args) -> None:
                    fake_phonemes=False)
 
 
+def capture_local(args) -> None:
+    """Capture from a LOCAL checkpoint pair (``config.json`` +
+    ``model.safetensors`` in ``--local-dir``) — the golden half of
+    ``tools/verify_checkpoint.py``. Fully offline: optional deps stub in
+    only when absent; without espeak the deterministic phonemizer stand-in
+    runs and the capture is marked ``fake_phonemes``. DAC weights beside
+    the checkpoint (``dac_model.safetensors`` + ``dac_config.json``) are
+    used when present; otherwise a seeded random DAC still exercises the
+    vocode path with shared weights."""
+    import shutil
+
+    from transformers.models.dac import DacConfig, DacModel
+
+    _install_stubs()
+    import torch
+    from safetensors.torch import load_file, save_file
+
+    src = args.local_dir
+    with open(os.path.join(src, "config.json")) as f:
+        cfg_dict = json.load(f)
+
+    dac_cfg_path = os.path.join(src, "dac_config.json")
+    dac_w_path = os.path.join(src, "dac_model.safetensors")
+    if os.path.exists(dac_cfg_path) and os.path.exists(dac_w_path):
+        with open(dac_cfg_path) as f:
+            dac_cfg = json.load(f)
+        dac_model = DacModel(DacConfig(**dac_cfg)).eval()
+        dac_model.load_state_dict(load_file(dac_w_path))
+    else:
+        torch.manual_seed(args.seed)
+        dac_cfg = RANDOM_INIT_DAC_CONFIG
+        dac_model = DacModel(DacConfig(**dac_cfg)).eval()
+    dac_model.requires_grad_(False)
+
+    import zonos.autoencoder as zae
+
+    class _LocalDacFactory:
+        @staticmethod
+        def from_pretrained(_name):
+            return dac_model
+
+    zae.DacModel = _LocalDacFactory
+
+    # Real espeak if the phonemizer stack is live; stand-in otherwise.
+    fake_phonemes = True
+    try:
+        from phonemizer.backend import EspeakBackend
+        fake_phonemes = EspeakBackend is object  # our stub
+    except Exception:
+        pass
+    if fake_phonemes:
+        import zonos.conditioning as zc
+        zc.phonemize = lambda texts, languages: [t.lower() for t in texts]
+
+    from zonos.config import ZonosConfig
+    from zonos.model import Zonos
+
+    os.makedirs(args.out, exist_ok=True)
+    model = Zonos(ZonosConfig.from_dict(cfg_dict)).eval()
+    sd = load_file(os.path.join(src, "model.safetensors"))
+    model.load_state_dict(sd)  # pad hook fires here (model.py:46-51)
+    model.requires_grad_(False)
+    if next(iter(sd.values())).dtype == torch.float32:
+        # fp32 artifacts need the KV cache pinned to fp32 (setup_cache
+        # hardcodes bf16 for the production model, model.py:198).
+        _setup_cache = model.setup_cache
+        model.setup_cache = (
+            lambda batch_size, max_seqlen, dtype=torch.float32:
+            _setup_cache(batch_size, max_seqlen, torch.float32)
+        )
+
+    with open(os.path.join(args.out, "config.json"), "w") as f:
+        json.dump(cfg_dict, f, indent=1)
+    with open(os.path.join(args.out, "dac_config.json"), "w") as f:
+        json.dump(dac_cfg, f, indent=1)
+    # Ship the SOURCE weights verbatim (the in-memory state_dict now carries
+    # padded heads, which the converter treats as a fresh-checkpoint pad).
+    if os.path.abspath(src) != os.path.abspath(args.out):
+        shutil.copy(os.path.join(src, "model.safetensors"),
+                    os.path.join(args.out, "model.safetensors"))
+    save_file({k: v.contiguous() for k, v in dac_model.state_dict().items()},
+              os.path.join(args.out, "dac_model.safetensors"))
+
+    capture_stages(model, args.out, args.text, args.language, args.steps,
+                   fake_phonemes=fake_phonemes)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reference", required=True)
@@ -360,11 +467,16 @@ def main() -> None:
     ap.add_argument("--random-init", action="store_true",
                     help="offline mode: seeded random weights through the "
                          "reference code instead of the HF checkpoint")
+    ap.add_argument("--local-dir", default=None,
+                    help="offline mode: capture from a local checkpoint "
+                         "pair (config.json + model.safetensors) in DIR")
     args = ap.parse_args()
 
     sys.path.insert(0, args.reference)
     if args.random_init:
         capture_random_init(args)
+    elif args.local_dir:
+        capture_local(args)
     else:
         capture_checkpoint(args)
 
