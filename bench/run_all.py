@@ -21,6 +21,9 @@ CONFIGS = [
     ("config3_prefix_continuation", ["860"], ["108"]),
     ("config4_multilingual_batch", ["430", "8"], ["54", "8"]),
     ("config5_hybrid_longform", ["5160"], ["645"]),
+    # Simulated scaling (spoofed CPU mesh — forces its own platform/devices;
+    # per-device work + collectives, projection anchored to config1's RTF).
+    ("scaling_report", [], []),
 ]
 
 
