@@ -41,10 +41,13 @@ def main() -> None:
     model = ZonosModel(ZONOS_V01_TRANSFORMER)
     params = model.init(jax.random.key(0))
     if use_int8:
+        # int8 phase 2: backbone projections + output heads as int8
+        # weights, and the flushed KV prefix as int8 + per-(head, token)
+        # scales (kv_int8 engine mode; stage/current stay exact bf16).
         from zonos_vibes_tpu.ops.quant import quantize_zonos_params
 
-        params = quantize_zonos_params(params)
-    engine = DecodeEngine(model)
+        params = quantize_zonos_params(params, heads=True)
+    engine = DecodeEngine(model, kv_int8=use_int8)
 
     # Conditioning prefix: typical phonemized-sentence length (~60 tokens).
     phonemes = jnp.concatenate(

@@ -181,3 +181,57 @@ def test_pooled_per_row_prefix_matches_dense():
         q, kc, vc, k_cur, v_cur, prefix_ends, jnp.int32(layer)
     )
     np.testing.assert_allclose(np.asarray(out2), ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("flushed_end,stage_len,layer",
+                         [(60, 5, 0), (128, 15, 2), (200, 0, 1)])
+def test_layered_q_int8_kernel_matches_exact(flushed_end, stage_len, layer):
+    """int8-KV layered kernel (int8 phase 2): quantized flushed prefix +
+    exact bf16 stage/current vs the dense reference running the DEQUANTIZED
+    cache — the kernel's in-read dequant must match the mathematical
+    dequant exactly (same numbers, only the HBM representation differs)."""
+    from zonos_vibes_tpu.ops.pallas.decode_attention import (
+        decode_attention_pallas_layered_q,
+    )
+    from zonos_vibes_tpu.ops.quant import quantize_kv
+
+    rng = np.random.default_rng(9)
+    L, B, Hq, Hkv, D, T = 3, 2, 8, 2, 64, 256
+    q, kc, vc, ks, vs, k_cur, v_cur = _rand_staged(rng, L, B, Hq, Hkv, D, T)
+    qk, sk = quantize_kv(kc, dh_axis=3)
+    qv, sv = quantize_kv(vc, dh_axis=3)
+    # Reference: dense attention over the dequantized slab.
+    deq_k = (qk.astype(jnp.float32) * sk[:, :, :, None, :])
+    deq_v = (qv.astype(jnp.float32) * sv[:, :, :, None, :])
+    ref = _staged_ref(q, deq_k, deq_v, ks, vs, k_cur, v_cur, flushed_end,
+                      stage_len, layer)
+    out = decode_attention_pallas_layered_q(
+        q, qk, qv, sk, sv, ks, vs, k_cur, v_cur, jnp.int32(flushed_end),
+        jnp.int32(stage_len), jnp.int32(layer), block=128, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_layered_q_fallback_matches_kernel():
+    """The XLA fallback of decode_attention_layered_q_auto reproduces the
+    quantized-kernel semantics on CPU."""
+    from zonos_vibes_tpu.ops.attention import decode_attention_layered_q_auto
+    from zonos_vibes_tpu.ops.pallas.decode_attention import (
+        decode_attention_pallas_layered_q,
+    )
+    from zonos_vibes_tpu.ops.quant import quantize_kv
+
+    rng = np.random.default_rng(11)
+    L, B, Hq, Hkv, D, T = 2, 2, 8, 2, 64, 256
+    q, kc, vc, ks, vs, k_cur, v_cur = _rand_staged(rng, L, B, Hq, Hkv, D, T)
+    qk, sk = quantize_kv(kc, dh_axis=3)
+    qv, sv = quantize_kv(vc, dh_axis=3)
+    args = (q, qk, qv, sk, sv, ks, vs, k_cur, v_cur,
+            jnp.int32(100), jnp.int32(6), jnp.int32(1))
+    out_fb = decode_attention_layered_q_auto(*args)
+    out_kn = decode_attention_pallas_layered_q(*args, block=128,
+                                               interpret=True)
+    np.testing.assert_allclose(np.asarray(out_fb), np.asarray(out_kn),
+                               rtol=2e-4, atol=2e-4)

@@ -93,6 +93,7 @@ def _prefill_state(
     cfg_scale: float,
     sampling: SamplingParams,
     disable_eos: bool = False,
+    kv_int8: bool = False,
 ) -> dict:
     """Build caches, apply the delay pattern, run prefill, sample the first
     frame (model.py:241-264). Returns the decode-loop state pytree.
@@ -120,7 +121,8 @@ def _prefill_state(
     rope = rope_table(cfg.backbone.head_dim)
     # Cache dtype follows the activation dtype (bf16 for real checkpoints,
     # fp32 in CPU tests — mixed bf16/fp32 dots don't lower on XLA:CPU).
-    cache = model.allocate_cache(two_b, seq_len, prefix_conditioning.dtype)
+    cache = model.allocate_cache(two_b, seq_len, prefix_conditioning.dtype,
+                                 kv_int8=kv_int8)
 
     codes = jnp.full((batch, K, audio_seq_len), UNKNOWN_TOKEN, jnp.int32)
     if lp > 0:
@@ -330,7 +332,7 @@ def _finalize(model: ZonosModel, state: dict):
 
 _STATICS = (
     "model", "prefix_audio_len", "max_new_tokens", "cfg_scale", "sampling",
-    "disable_eos",
+    "disable_eos", "kv_int8",
 )
 
 
@@ -346,11 +348,13 @@ def generate_jit(
     cfg_scale: float,
     sampling: SamplingParams,
     disable_eos: bool = False,
+    kv_int8: bool = False,
 ):
     cond_len = prefix_conditioning.shape[1]
     state = _prefill_state(
         model, params, prefix_conditioning, audio_prefix_codes, key,
         prefix_audio_len, max_new_tokens, cfg_scale, sampling, disable_eos,
+        kv_int8=kv_int8,
     )
     state = _decode_loop(
         model, params, state, cond_len, cfg_scale, sampling, disable_eos,
@@ -364,10 +368,12 @@ def prefill_jit(
     model, params, prefix_conditioning, audio_prefix_codes, key,
     prefix_audio_len, max_new_tokens, cfg_scale, sampling,
     disable_eos: bool = False,
+    kv_int8: bool = False,
 ):
     return _prefill_state(
         model, params, prefix_conditioning, audio_prefix_codes, key,
         prefix_audio_len, max_new_tokens, cfg_scale, sampling, disable_eos,
+        kv_int8=kv_int8,
     )
 
 
@@ -393,10 +399,16 @@ def decode_segment_jit(
 
 class DecodeEngine:
     """User-facing generate API. Compiled programs cached by jit on the
-    static signature (batch, cond_len, prefix_len, steps, cfg, sampling)."""
+    static signature (batch, cond_len, prefix_len, steps, cfg, sampling).
 
-    def __init__(self, model: ZonosModel):
+    ``kv_int8`` (int8 phase 2, transformer only): store the flushed KV
+    prefix as int8 + per-(head, token) scales — half the cache HBM traffic;
+    the staged tail and current token stay exact. Opt-in because it is a
+    lossy cache representation (documented tolerance in tests/test_quant)."""
+
+    def __init__(self, model: ZonosModel, kv_int8: bool = False):
         self.model = model
+        self.kv_int8 = kv_int8
 
     def _norm_args(self, prefix_conditioning, audio_prefix_codes,
                    sampling_params, cfg_scale):
@@ -441,6 +453,7 @@ class DecodeEngine:
             float(cfg_scale),
             sampling_params,
             disable_eos,
+            self.kv_int8,
         )
         return GenerateResult(
             codes=codes, valid_length=valid, valid_lengths=valid_rows
@@ -470,7 +483,7 @@ class DecodeEngine:
         state = prefill_jit(
             self.model, params, prefix_conditioning, audio_prefix_codes, key,
             int(audio_prefix_codes.shape[-1]), int(max_new_tokens),
-            float(cfg_scale), sampling_params, disable_eos,
+            float(cfg_scale), sampling_params, disable_eos, self.kv_int8,
         )
         while True:
             state, codes, valid, valid_rows, done = decode_segment_jit(

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from ..config import BackboneConfig
 from ..ops.attention import (
     decode_attention_layered_auto,
+    decode_attention_layered_q_auto,
     decode_attention_pooled_auto,
     prefill_attention_auto,
     update_kv_cache,
@@ -80,12 +81,18 @@ KV_STAGE = 128
 
 
 def allocate_kv_cache(
-    cfg: BackboneConfig, batch_size: int, max_seqlen: int, dtype=jnp.bfloat16
+    cfg: BackboneConfig, batch_size: int, max_seqlen: int, dtype=jnp.bfloat16,
+    kv_int8: bool = False,
 ) -> dict:
     """Preallocated per-layer KV cache pytree: time-minor main slabs
     ``[L, B, Hkv, Dh, T]`` (lane-aligned for the Pallas decode kernel; the
     reference allocates ``[B, T, 2, Hkv, Dh]`` per layer, _torch.py:97)
-    plus the time-major decode stage ``[L, B, KV_STAGE, Hkv, Dh]``."""
+    plus the time-major decode stage ``[L, B, KV_STAGE, Hkv, Dh]``.
+
+    ``kv_int8`` (int8 phase 2): the main slabs store int8 with
+    per-(layer, row, head, token) f32 scales — half the flushed-prefix HBM
+    traffic. The stage stays in the activation dtype (the recent tail is
+    exact); quantization happens at flush/prefill-splice time, amortized."""
     L = cfg.n_layer
     shape = (L, batch_size, cfg.num_heads_kv, cfg.head_dim, max_seqlen)
     # Clamp the stage depth to the cache length (tiny test configs) so a
@@ -95,12 +102,17 @@ def allocate_kv_cache(
     # the kernel operand.
     stage = min(KV_STAGE, max_seqlen)
     sshape = (L, batch_size, stage, cfg.num_heads_kv * cfg.head_dim)
-    return {
-        "k": jnp.zeros(shape, dtype),
-        "v": jnp.zeros(shape, dtype),
+    out = {
+        "k": jnp.zeros(shape, jnp.int8 if kv_int8 else dtype),
+        "v": jnp.zeros(shape, jnp.int8 if kv_int8 else dtype),
         "k_stage": jnp.zeros(sshape, dtype),
         "v_stage": jnp.zeros(sshape, dtype),
     }
+    if kv_int8:
+        sc_shape = (L, batch_size, cfg.num_heads_kv, max_seqlen)
+        out["k_scale"] = jnp.ones(sc_shape, jnp.float32)
+        out["v_scale"] = jnp.ones(sc_shape, jnp.float32)
+    return out
 
 
 def flush_kv_stage(cache: dict, stage_base: jnp.ndarray) -> dict:
@@ -108,14 +120,32 @@ def flush_kv_stage(cache: dict, stage_base: jnp.ndarray) -> dict:
     time-minor main cache at ``stage_base``. Called by the decode loop once
     per segment of up to STAGE steps (amortizing the strided time-minor
     write); slots beyond the filled prefix are stale but are either masked
-    by readers or overwritten by the next flush before ever being attended."""
+    by readers or overwritten by the next flush before ever being attended.
+
+    int8-KV caches quantize HERE — once per STAGE steps, never per step:
+    per-(token, head) absmax over head_dim, int8 values + f32 scales."""
     zero = jnp.zeros((), jnp.int32)
-    idx = (zero, zero, zero, zero, jnp.asarray(stage_base, jnp.int32))
+    sb = jnp.asarray(stage_base, jnp.int32)
+    idx = (zero, zero, zero, zero, sb)
     L, B, Hkv, Dh, _ = cache["k"].shape
     STAGE = cache["k_stage"].shape[2]
 
     def tm(stage):  # [L,B,STAGE,Hkv*Dh] -> [L,B,Hkv,Dh,STAGE]
         return stage.reshape(L, B, STAGE, Hkv, Dh).transpose(0, 1, 3, 4, 2)
+
+    if "k_scale" in cache:
+        from ..ops.quant import quantize_kv
+
+        qk, sk = quantize_kv(tm(cache["k_stage"]), dh_axis=3)
+        qv, sv = quantize_kv(tm(cache["v_stage"]), dh_axis=3)
+        sidx = (zero, zero, zero, sb)
+        return {
+            **cache,
+            "k": jax.lax.dynamic_update_slice(cache["k"], qk, idx),
+            "v": jax.lax.dynamic_update_slice(cache["v"], qv, idx),
+            "k_scale": jax.lax.dynamic_update_slice(cache["k_scale"], sk, sidx),
+            "v_scale": jax.lax.dynamic_update_slice(cache["v_scale"], sv, sidx),
+        }
 
     return {
         **cache,
@@ -220,7 +250,10 @@ def _stack_forward(
     # XLA performs in place on the while carry. On the decode path the
     # layer-indexed Pallas kernel reads the full stacked cache directly
     # (scalar-prefetched layer index), so not even a slab is materialized.
-    cdtype = cache["k"].dtype
+    # Fresh columns are produced in the ACTIVATION dtype: for int8-KV
+    # caches that is the stage dtype (quantization happens at flush time).
+    kv_int8 = "k_scale" in cache
+    cdtype = cache["k_stage"].dtype if "k_stage" in cache else cache["k"].dtype
     L, B_c, Hkv_c, Dh_c = cache["k"].shape[:4]
 
     if is_decode and pooled:
@@ -252,6 +285,16 @@ def _stack_forward(
                     q, cache["k"], cache["v"], k_col, v_col, row_pos, l
                 )
                 return y, k_col, v_col
+        elif is_decode and kv_int8:
+            def attend(q, k, v):
+                k_col = k.astype(cdtype).transpose(0, 2, 3, 1)
+                v_col = v.astype(cdtype).transpose(0, 2, 3, 1)
+                y = decode_attention_layered_q_auto(
+                    q, cache["k"], cache["v"], cache["k_scale"],
+                    cache["v_scale"], k_stage, v_stage,
+                    k_col, v_col, flushed_end, stage_len, l,
+                )
+                return y, k_col, v_col
         elif is_decode:
             def attend(q, k, v):
                 k_col = k.astype(cdtype).transpose(0, 2, 3, 1)
@@ -265,6 +308,18 @@ def _stack_forward(
             def attend(q, k, v):
                 kc = jax.lax.dynamic_index_in_dim(cache["k"], l, 0, keepdims=False)
                 vc = jax.lax.dynamic_index_in_dim(cache["v"], l, 0, keepdims=False)
+                if kv_int8:
+                    # Dequantize this layer's slab for the prefill read
+                    # (prefill runs once; the chunk itself is written below
+                    # in exact dtype before attending).
+                    ks = jax.lax.dynamic_index_in_dim(
+                        cache["k_scale"], l, 0, keepdims=False
+                    )
+                    vs = jax.lax.dynamic_index_in_dim(
+                        cache["v_scale"], l, 0, keepdims=False
+                    )
+                    kc = (kc.astype(jnp.float32) * ks[:, :, None, :]).astype(cdtype)
+                    vc = (vc.astype(jnp.float32) * vs[:, :, None, :]).astype(cdtype)
                 kc, vc = update_kv_cache(kc, vc, k, v, offset)
                 y = prefill_attention_auto(q, kc, vc, offset, k.shape[1])
                 k_col = k.astype(cdtype).transpose(0, 2, 3, 1)
@@ -318,8 +373,23 @@ def _stack_forward(
     else:
         # Prefill (or compat decode): splice at time offset across layers.
         idx = (zero, zero, zero, zero, jnp.asarray(offset, jnp.int32))
-        new_cache["k"] = jax.lax.dynamic_update_slice(cache["k"], k_cols, idx)
-        new_cache["v"] = jax.lax.dynamic_update_slice(cache["v"], v_cols, idx)
+        if kv_int8:
+            from ..ops.quant import quantize_kv
+
+            qk, sk = quantize_kv(k_cols, dh_axis=3)  # [L,B,Hkv,Dh,S]
+            qv, sv = quantize_kv(v_cols, dh_axis=3)
+            sidx = (zero, zero, zero, jnp.asarray(offset, jnp.int32))
+            new_cache["k"] = jax.lax.dynamic_update_slice(cache["k"], qk, idx)
+            new_cache["v"] = jax.lax.dynamic_update_slice(cache["v"], qv, idx)
+            new_cache["k_scale"] = jax.lax.dynamic_update_slice(
+                cache["k_scale"], sk, sidx
+            )
+            new_cache["v_scale"] = jax.lax.dynamic_update_slice(
+                cache["v_scale"], sv, sidx
+            )
+        else:
+            new_cache["k"] = jax.lax.dynamic_update_slice(cache["k"], k_cols, idx)
+            new_cache["v"] = jax.lax.dynamic_update_slice(cache["v"], v_cols, idx)
     if norm_f is not None:
         hidden = layer_norm(
             hidden, norm_f["weight"], norm_f["bias"], cfg.norm_epsilon
@@ -359,8 +429,10 @@ class TransformerBackbone:
     def init(self, key, dtype=jnp.bfloat16) -> dict:
         return init_transformer_backbone(key, self.cfg, dtype)
 
-    def allocate_cache(self, batch: int, max_seqlen: int, dtype=jnp.bfloat16):
-        return allocate_kv_cache(self.cfg, batch, max_seqlen, dtype)
+    def allocate_cache(self, batch: int, max_seqlen: int, dtype=jnp.bfloat16,
+                       kv_int8: bool = False):
+        return allocate_kv_cache(self.cfg, batch, max_seqlen, dtype,
+                                 kv_int8=kv_int8)
 
     def forward(self, params, hidden, cache, offset, lengths, rope=None,
                 stage_base=None, pooled=False):

@@ -83,18 +83,39 @@ class ZonosModel:
 
     def embed_codes(self, params: dict, codes: jnp.ndarray) -> jnp.ndarray:
         """``[B, K, S] int -> [B, S, D]``: sum of per-codebook embeddings
-        (model.py:97-98)."""
-        emb = params["embeddings"]["weight"]  # [K, V, D]
-        K = emb.shape[0]
-        gathered = emb[jnp.arange(K)[None, :, None], codes]  # [B, K, S, D]
+        (model.py:97-98). Supports int8 tables (ops/quant: per-channel
+        scale [K, 1, D]) — the gather reads int8 rows, dequant applies to
+        the K gathered rows only."""
+        e = params["embeddings"]
+        K = (e["weight_int8"] if "weight_int8" in e else e["weight"]).shape[0]
+        idx = jnp.arange(K)[None, :, None]
+        if "weight_int8" in e:
+            rows = e["weight_int8"][idx, codes].astype(jnp.float32)
+            rows = rows * e["scale"][None]  # [K,1,D] -> [1,K,1,D] bcast
+            # "act_dtype" marker (zero-size) records the activation dtype the
+            # bf16 table would have produced.
+            return rows.sum(axis=1).astype(e["act_dtype"].dtype)
+        gathered = e["weight"][idx, codes]  # [B, K, S, D]
         return gathered.sum(axis=1)
 
     def apply_heads(self, params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
-        """``[B, S, D] -> [B, K, S, V]`` fp32 logits (model.py:100-101)."""
+        """``[B, S, D] -> [B, K, S, V]`` fp32 logits (model.py:100-101).
+        Supports int8 head weights (per-out-channel scale [K, 1, V]): the
+        int8->activation convert fuses into the einsum operand read, the
+        scale applies to the fp32 logits."""
+        h = params["heads"]
+        if "weight_int8" in h:
+            y = jnp.einsum(
+                "bsd,kdv->bksv",
+                hidden,
+                h["weight_int8"].astype(hidden.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            return y * h["scale"][None]  # [K,1,V] -> [1,K,1,V]
         return jnp.einsum(
             "bsd,kdv->bksv",
             hidden,
-            params["heads"]["weight"],
+            h["weight"],
             preferred_element_type=jnp.float32,
         )
 
@@ -140,7 +161,14 @@ class ZonosModel:
         logits = jnp.where(col[None, None, :] >= mask_from, NEG_INF, logits)
         return logits, new_cache
 
-    def allocate_cache(self, batch_size: int, max_seqlen: int, dtype=jnp.bfloat16):
+    def allocate_cache(self, batch_size: int, max_seqlen: int,
+                       dtype=jnp.bfloat16, kv_int8: bool = False):
+        if kv_int8:
+            # Transformer-only (int8 phase 2): loud TypeError on backbones
+            # without the quantized-cache path.
+            return self.backbone.allocate_cache(
+                batch_size, max_seqlen, dtype, kv_int8=True
+            )
         return self.backbone.allocate_cache(batch_size, max_seqlen, dtype)
 
     # -- conditioning -------------------------------------------------------

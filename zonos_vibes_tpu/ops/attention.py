@@ -265,6 +265,55 @@ def decode_attention_layered_auto(
     return decode_attention(q, kc[..., :T_orig], vc[..., :T_orig], cur_pos + 1)
 
 
+def decode_attention_layered_q_auto(
+    q: jnp.ndarray,  # [B, 1, Hq, D]
+    k_cache: jnp.ndarray,  # [L, B, Hkv, D, T] int8 flushed prefix
+    v_cache: jnp.ndarray,  # [L, B, Hkv, D, T] int8
+    k_scale: jnp.ndarray,  # [L, B, Hkv, T] f32
+    v_scale: jnp.ndarray,  # [L, B, Hkv, T] f32
+    k_stage: jnp.ndarray,  # [L, B, STAGE, Hkv*D] exact (activation dtype)
+    v_stage: jnp.ndarray,
+    k_cur: jnp.ndarray,  # [B, Hkv, D, 1]
+    v_cur: jnp.ndarray,
+    flushed_end: jnp.ndarray,
+    stage_len: jnp.ndarray,
+    layer: jnp.ndarray,
+) -> jnp.ndarray:
+    """int8-KV decode attention (int8 phase 2): TPU runs the quantized
+    layered Pallas kernel (dequant in the operand read — cache crosses HBM
+    as int8); the fallback dequantizes this layer's slab and reuses the
+    bf16 layered semantics."""
+    B, S, Hq, D = q.shape
+    L, _, Hkv, _, T = k_cache.shape
+    ok = (
+        _PALLAS_DECODE != "0"
+        and S == 1
+        and Hq % Hkv == 0
+        and D % 8 == 0
+        and _decode_block_ok(T)
+        and (jax.default_backend() == "tpu" or _PALLAS_DECODE == "1")
+    )
+    if ok:
+        from .pallas.decode_attention import decode_attention_pallas_layered_q
+
+        return decode_attention_pallas_layered_q(
+            q, k_cache, v_cache, k_scale, v_scale, k_stage, v_stage,
+            k_cur, v_cur, flushed_end, stage_len, layer, block=_PALLAS_BLOCK,
+        )
+    kc = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=True)
+    vc = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=True)
+    ks = jax.lax.dynamic_index_in_dim(k_scale, layer, 0, keepdims=True)
+    vs = jax.lax.dynamic_index_in_dim(v_scale, layer, 0, keepdims=True)
+    kc = (kc.astype(jnp.float32) * ks[:, :, :, None, :]).astype(q.dtype)
+    vc = (vc.astype(jnp.float32) * vs[:, :, :, None, :]).astype(q.dtype)
+    kst = jax.lax.dynamic_index_in_dim(k_stage, layer, 0, keepdims=True)
+    vst = jax.lax.dynamic_index_in_dim(v_stage, layer, 0, keepdims=True)
+    return decode_attention_layered_auto(
+        q, kc, vc, kst, vst, k_cur, v_cur, flushed_end, stage_len,
+        jnp.int32(0),
+    )
+
+
 def decode_attention_pooled_auto(
     q: jnp.ndarray,  # [B, 1, Hq, D]
     k_cache: jnp.ndarray,  # [L, B, Hkv, D, T] READ-ONLY

@@ -72,15 +72,43 @@ def quantize_backbone_params(backbone_params: dict) -> dict:
     return out
 
 
-def quantize_zonos_params(params: dict) -> dict:
-    """Full-model variant: backbone projections int8; embeddings, heads,
-    conditioners stay bf16 (they are a small fraction of the bytes and the
-    heads feed fp32 logits)."""
+def quantize_zonos_params(params: dict, heads: bool = True,
+                          embeddings: bool = False) -> dict:
+    """Full-model variant: backbone projections int8; conditioners stay
+    bf16 (negligible bytes).
+
+    ``heads`` (int8 phase 2): the 9 output heads are ``K x D x 1152`` —
+    ~2% of the remaining per-step HBM traffic once the backbone is int8;
+    per-out-channel scales apply to the fp32 logits after the einsum.
+
+    ``embeddings`` (off by default): the decode step GATHERS K rows
+    (~36 KB/step at flagship scale), so int8 tables buy memory footprint,
+    not bandwidth — supported for completeness. A zero-size ``act_dtype``
+    marker preserves the activation dtype the bf16 table produced."""
     out = dict(params)
     out["backbone"] = quantize_backbone_params(params["backbone"])
+    if heads and "weight" in params["heads"]:
+        out["heads"] = quantize_weight(params["heads"]["weight"])
+    if embeddings and "weight" in params["embeddings"]:
+        w = params["embeddings"]["weight"]  # [K, V, D]
+        q = quantize_weight(w)  # scale [K, 1, D] (per-channel over V rows)
+        q["act_dtype"] = jnp.zeros((), w.dtype)
+        out["embeddings"] = q
     return out
 
 
 def dequantize_weight(p: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
     """Materialize the bf16 weight (tests / fallback paths)."""
     return (p["weight_int8"].astype(jnp.float32) * p["scale"]).astype(dtype)
+
+
+def quantize_kv(x: jnp.ndarray, dh_axis: int):
+    """Symmetric per-(token, head) int8 for KV cache columns: absmax over
+    the head_dim axis (traced, device-side — runs inside the decode
+    program at stage-flush/prefill-splice time, amortized over the staged
+    tokens). Returns ``(int8 values, f32 scales with dh_axis squeezed)``."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=dh_axis, keepdims=True)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, jnp.squeeze(scale, axis=dh_axis)

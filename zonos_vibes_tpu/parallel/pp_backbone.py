@@ -151,10 +151,13 @@ class PipelinedTransformerBackbone:
         return {
             "k": P(PIPE, DATA), "v": P(PIPE, DATA),
             "k_stage": P(PIPE, DATA), "v_stage": P(PIPE, DATA),
+            "k_scale": P(PIPE, DATA), "v_scale": P(PIPE, DATA),
         }
 
-    def allocate_cache(self, batch: int, max_seqlen: int, dtype=jnp.bfloat16):
-        cache = allocate_kv_cache(self.cfg, batch, max_seqlen, dtype)
+    def allocate_cache(self, batch: int, max_seqlen: int, dtype=jnp.bfloat16,
+                       kv_int8: bool = False):
+        cache = allocate_kv_cache(self.cfg, batch, max_seqlen, dtype,
+                                  kv_int8=kv_int8)
         # Pin per-stage KV placement from birth so the while-loop carry
         # never gathers the cache.
         return {
@@ -172,15 +175,16 @@ class PipelinedTransformerBackbone:
         staged = stage_base is not None
         sb = stage_base if staged else jnp.int32(0)
         layer_specs = jax.tree.map(lambda _: P(PIPE), params["layers"])
+        cache_spec = {k: self._cache_spec()[k] for k in cache}
         fn = shard_map(
             functools.partial(
                 _pp_body, cfg=cfg, axis=self.axis_name, n_micro=self.n_micro,
                 staged=staged, pooled=pooled,
             ),
             mesh=self.mesh,
-            in_specs=(layer_specs, P(DATA), self._cache_spec(), P(), P(DATA),
+            in_specs=(layer_specs, P(DATA), cache_spec, P(), P(DATA),
                       P(), P()),
-            out_specs=(P(DATA), self._cache_spec()),
+            out_specs=(P(DATA), cache_spec),
             check_vma=False,
         )
         out, new_cache = fn(

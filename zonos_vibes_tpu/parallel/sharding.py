@@ -126,8 +126,11 @@ def zonos_param_specs(params: dict) -> dict:
         else backbone_param_specs(bb)
     )
     return {
-        "embeddings": {"weight": P(None, None, None)},
-        "heads": {"weight": P(None, None, MODEL)},  # vocab-sharded logits
+        # Embedding tables replicate (gathered rows, tiny reads); int8
+        # leaves ({"weight_int8","scale","act_dtype"}) replicate the same.
+        "embeddings": jax.tree.map(lambda _: P(), params["embeddings"]),
+        # Output heads vocab-sharded (bf16 or int8+scale).
+        "heads": _proj_spec(params["heads"], P(None, None, MODEL)),
         "backbone": backbone,
         "prefix_conditioner": _conditioner_specs(params["prefix_conditioner"]),
     }
@@ -143,6 +146,9 @@ def kv_cache_specs() -> dict:
         # model (contiguous chunks == whole heads when Hkv % n_model == 0).
         "k_stage": P(None, DATA, None, MODEL),
         "v_stage": P(None, DATA, None, MODEL),
+        # int8-KV scales [L, B, Hkv, T] follow the head sharding.
+        "k_scale": P(None, DATA, MODEL, None),
+        "v_scale": P(None, DATA, MODEL, None),
     }
 
 
