@@ -58,21 +58,29 @@ class PoolConfig:
 
 
 def _pool_cache_len(model: ZonosModel, pc: PoolConfig) -> int:
-    seq = pc.max_cond_len + pc.max_new_tokens + model.config.num_codebooks
+    # +KV_STAGE margin: the per-segment ring flush splices a FULL stage
+    # window at each row's watermark; the margin guarantees the splice never
+    # clamps back onto valid positions near the cache end.
+    from ..models.backbone import KV_STAGE
+
+    seq = (pc.max_cond_len + pc.max_new_tokens + model.config.num_codebooks
+           + KV_STAGE)
     return _find_multiple(seq, 512 if seq >= 1024 else 8)
 
 
 def make_pool(model: ZonosModel, pc: PoolConfig, dtype=jnp.bfloat16) -> dict:
-    """All-slots-free pool state. For the transformer the cache is the plain
-    {k, v} pair — pooled mode splices columns per row directly (no stage).
-    The hybrid cache pytree ({attn, runs, solo}) pools as-is: Mamba conv/SSM
-    state is per-row recurrent state with no position, so only its attention
-    layers participate in the per-row position machinery."""
+    """All-slots-free pool state. Transformer caches keep their time-major
+    stage: pooled decode runs RING mode — each row's fresh columns land in
+    its ring slot (pos - flush_base) and the strided time-minor splice
+    happens once per segment (:func:`flush_pool_rings`). The hybrid cache
+    pytree ({attn, runs, solo}) pools as-is: Mamba conv/SSM state is
+    per-row recurrent state with no position, so only its attention layers
+    participate in the per-row position machinery."""
     K = model.config.num_codebooks
     T = _pool_cache_len(model, pc)
     cache = model.allocate_cache(2 * pc.slots, T, dtype)
     if "k" in cache:
-        cache = {"k": cache["k"], "v": cache["v"]}
+        cache = {k: cache[k] for k in ("k", "v", "k_stage", "v_stage")}
     lbuf = pc.max_new_tokens + K
     S = pc.slots
     return {
@@ -85,6 +93,8 @@ def make_pool(model: ZonosModel, pc: PoolConfig, dtype=jnp.bfloat16) -> dict:
         "stopping": jnp.zeros((S,), bool),
         "stop_offset": jnp.full((S,), -1, jnp.int32),
         "row_seed": jnp.zeros((S,), jnp.uint32),
+        # Ring mode: per-slot flushed watermark (ring covers [base, pos)).
+        "flush_base": jnp.zeros((S,), jnp.int32),
     }
 
 
@@ -127,9 +137,13 @@ def _splice_cache_rows(pool_cache: dict, req_cache: dict, slot: int,
         return out
 
     if "k" in pool_cache:
+        # Stage buffers are NOT spliced: a freshly prefilled request has an
+        # empty ring (its prefix went through the direct prefill splice)
+        # and join resets the slot's watermark to pos.
         return {
-            kk: row_splice(pool_cache[kk], req_cache[kk], 1)
-            for kk in ("k", "v")
+            **pool_cache,
+            **{kk: row_splice(pool_cache[kk], req_cache[kk], 1)
+               for kk in ("k", "v")},
         }
     return {
         "attn": {
@@ -181,6 +195,10 @@ def join(pool: dict, req_state: dict, slot: int, cond_len, row_seed) -> dict:
         "stopping": upd(pool["stopping"], req_state["stopping"][0]),
         "stop_offset": upd(pool["stop_offset"], req_state["stop_offset"][0]),
         "row_seed": upd(pool["row_seed"], jnp.asarray(row_seed, jnp.uint32)),
+        # Fresh ring: nothing of this row is staged yet.
+        "flush_base": upd(pool["flush_base"],
+                          jnp.asarray(cond_len, jnp.int32)
+                          + req_state["offset"]),
     }
 
 
@@ -198,9 +216,14 @@ def _pool_body(model: ZonosModel, params: dict, pool: dict, base_key,
     emb = model.embed_codes(params, frame_in)
     emb = jnp.concatenate([emb, emb], axis=0)  # CFG rows [cond..., uncond...]
     lengths = jnp.concatenate([pool["pos"], pool["pos"]])  # [2S] per-row
+    kw = {}
+    if "k_stage" in pool["cache"]:  # transformer: ring mode
+        kw["pool_base"] = jnp.concatenate(
+            [pool["flush_base"], pool["flush_base"]]
+        )
     logits, cache = model.compute_logits(
         params, emb, pool["cache"], jnp.int32(0), lengths, cfg_scale, rope,
-        pooled=True,
+        pooled=True, **kw,
     )
 
     head_v = model.head_out_dim
@@ -262,6 +285,7 @@ def _pool_body(model: ZonosModel, params: dict, pool: dict, base_key,
         "stopping": jnp.where(active, stopping, pool["stopping"]),
         "stop_offset": jnp.where(active, stop_offset, pool["stop_offset"]),
         "row_seed": pool["row_seed"],
+        "flush_base": pool["flush_base"],
     }
 
 
@@ -280,8 +304,19 @@ def pool_steps_jit(
     sampling: SamplingParams,
 ) -> dict:
     """Advance every active row by up to ``n_steps`` pooled decode steps
-    (early exit when nothing is running)."""
+    (early exit when nothing is running). Transformer pools run RING mode:
+    columns land in per-row ring slots during the loop, and ONE structural
+    flush at the end splices every row's window back into the time-minor
+    cache (the per-step strided splice this replaces cost ~1.4 ms/step at
+    16 rows). ``n_steps`` must not exceed the ring depth."""
     rope = rope_table(model.config.backbone.head_dim)
+    ring = "k_stage" in pool["cache"]
+    if ring:
+        stage_depth = pool["cache"]["k_stage"].shape[2]
+        assert n_steps <= stage_depth, (
+            f"segment of {n_steps} steps overflows the {stage_depth}-deep "
+            f"ring stage"
+        )
 
     def cond_fn(carry):
         i, p = carry
@@ -294,7 +329,39 @@ def pool_steps_jit(
         return i + 1, p
 
     _, pool = jax.lax.while_loop(cond_fn, body_fn, (jnp.int32(0), pool))
+    if ring:
+        pool = flush_pool_rings(pool)
     return pool
+
+
+def flush_pool_rings(pool: dict) -> dict:
+    """Splice every row's ring window ``[base, base + STAGE)`` into the
+    time-minor cache and advance the watermark to ``pos``. Runs ONCE per
+    segment, outside the stepping loop (a per-step lax.cond flush executes
+    both branches — CLAUDE.md). Slots beyond a row's ``pos`` carry stale
+    ring rows, but those positions are past the attention bound and the
+    NEXT segment's flush (whose window starts at the new base == pos)
+    overwrites them before they are ever valid."""
+    cache = pool["cache"]
+    L, B2, Hkv, Dh, _ = cache["k"].shape
+    STAGE = cache["k_stage"].shape[2]
+    base2 = jnp.concatenate([pool["flush_base"], pool["flush_base"]])
+
+    def tm(stage):  # [L,B,STAGE,Hkv*Dh] -> [L,B,Hkv,Dh,STAGE]
+        return stage.reshape(L, B2, STAGE, Hkv, Dh).transpose(0, 1, 3, 4, 2)
+
+    ks, vs = tm(cache["k_stage"]), tm(cache["v_stage"])
+    nk, nv = cache["k"], cache["v"]
+    zero = jnp.zeros((), jnp.int32)
+    for r in range(B2):
+        idx = (zero, jnp.int32(r), zero, zero, base2[r])
+        nk = jax.lax.dynamic_update_slice(nk, ks[:, r : r + 1], idx)
+        nv = jax.lax.dynamic_update_slice(nv, vs[:, r : r + 1], idx)
+    return {
+        **pool,
+        "cache": {**cache, "k": nk, "v": nv},
+        "flush_base": pool["pos"],
+    }
 
 
 def row_finished(pool: dict, slot: int) -> bool:

@@ -33,6 +33,7 @@ from ..ops.attention import (
     decode_attention_layered_auto,
     decode_attention_layered_q_auto,
     decode_attention_pooled_auto,
+    decode_attention_pooled_staged_auto,
     prefill_attention_auto,
     update_kv_cache,
 )
@@ -204,6 +205,7 @@ def _stack_forward(
     rope: jnp.ndarray | None = None,
     stage_base: jnp.ndarray | None = None,
     pooled: bool = False,
+    pool_base: jnp.ndarray | None = None,
 ):
     """Layer-stack forward over ``layers`` (stacked ``[L, ...]`` params).
 
@@ -228,6 +230,12 @@ def _stack_forward(
       pooled: continuous-batching decode — every row sits at its OWN cache
         position, given by ``lengths_per_sample`` (``offset`` is ignored);
         attention bounds and column writes are per-row.
+      pool_base: pooled RING mode — ``[B]`` int32 per-row flushed
+        watermarks. Fresh columns land in the row's time-major ring slot
+        ``pos - base`` (cheap aligned write); attention covers flushed
+        prefix + ring window + current token; the CALLER splices rings
+        back once per segment (engine/pool.flush_pool_rings). Without it,
+        pooled mode falls back to per-step per-row time-minor splices.
 
     Returns ``(hidden_out [B, S, D], new_cache)``.
     """
@@ -256,8 +264,12 @@ def _stack_forward(
     cdtype = cache["k_stage"].dtype if "k_stage" in cache else cache["k"].dtype
     L, B_c, Hkv_c, Dh_c = cache["k"].shape[:4]
 
+    ring = pooled and is_decode and pool_base is not None and "k_stage" in cache
     if is_decode and pooled:
         row_pos = lengths_per_sample.astype(jnp.int32)  # [B] abs positions
+        if ring:
+            ring_base = jnp.asarray(pool_base, jnp.int32)
+            ring_len = row_pos - ring_base  # [B] valid ring rows (excl. cur)
     elif is_decode:
         if stage_base is None:
             # Compat/single-shot path: attend with an empty dummy stage and
@@ -277,7 +289,16 @@ def _stack_forward(
 
     def scan_body(carry, layer_params):
         h, l = carry
-        if is_decode and pooled:
+        if is_decode and pooled and ring:
+            def attend(q, k, v):
+                k_col = k.astype(cdtype).transpose(0, 2, 3, 1)
+                v_col = v.astype(cdtype).transpose(0, 2, 3, 1)
+                y = decode_attention_pooled_staged_auto(
+                    q, cache["k"], cache["v"], cache["k_stage"],
+                    cache["v_stage"], k_col, v_col, ring_base, ring_len, l,
+                )
+                return y, k_col, v_col
+        elif is_decode and pooled:
             def attend(q, k, v):
                 k_col = k.astype(cdtype).transpose(0, 2, 3, 1)
                 v_col = v.astype(cdtype).transpose(0, 2, 3, 1)
@@ -335,15 +356,28 @@ def _stack_forward(
     # k_cols/v_cols: [L, B, Hkv, Dh, S].
     zero = jnp.zeros((), jnp.int32)
     new_cache = dict(cache)
-    if is_decode and pooled:
+    if is_decode and pooled and ring:
+        # RING mode: fresh columns land in each row's time-major ring slot
+        # (pos - base) — full (Hkv, Dh) planes, tile-aligned and cheap; the
+        # strided time-minor splice happens ONCE per scheduler segment
+        # (engine/pool.flush_pool_rings), closing the ~1.4 ms/step per-row
+        # splice headroom recorded in docs/KERNELS.md.
+        Lc, Bc = k_cols.shape[0], k_cols.shape[1]
+        cols_k = k_cols.transpose(0, 1, 4, 2, 3).reshape(Lc, Bc, 1, -1)
+        cols_v = v_cols.transpose(0, 1, 4, 2, 3).reshape(Lc, Bc, 1, -1)
+        nks, nvs = cache["k_stage"], cache["v_stage"]
+        for b in range(B_c):
+            idx4 = (zero, jnp.int32(b), ring_len[b], zero)
+            nks = jax.lax.dynamic_update_slice(nks, cols_k[:, b : b + 1], idx4)
+            nvs = jax.lax.dynamic_update_slice(nvs, cols_v[:, b : b + 1], idx4)
+        new_cache["k_stage"], new_cache["v_stage"] = nks, nvs
+    elif is_decode and pooled:
         # Per-row column splice at each row's own position. B is small and
         # static, so an unrolled per-row dynamic_update_slice beats a
         # full-cache one-hot traversal. NOTE: this is the strided
         # time-minor write the staged design exists to amortize
-        # (CLAUDE.md); pooled rows sit at DIFFERENT positions so a shared
-        # stage needs per-row ring windows — measured acceptable at pool
-        # sizes (~1.4 ms/step at 16 rows) and recorded as known headroom
-        # in docs/KERNELS.md.
+        # (CLAUDE.md); used only for caches without a stage (hybrid attn
+        # layers) — the transformer pool runs RING mode above.
         nk, nv = cache["k"], cache["v"]
         for b in range(B_c):
             bidx = jnp.int32(b)
@@ -407,11 +441,13 @@ def transformer_forward(
     rope: jnp.ndarray | None = None,
     stage_base: jnp.ndarray | None = None,
     pooled: bool = False,
+    pool_base: jnp.ndarray | None = None,
 ):
     """Full layer stack + final LayerNorm (see :func:`_stack_forward`)."""
     return _stack_forward(
         params["layers"], params["norm_f"], cfg, hidden, cache, offset,
         lengths_per_sample, rope, stage_base=stage_base, pooled=pooled,
+        pool_base=pool_base,
     )
 
 
@@ -435,8 +471,8 @@ class TransformerBackbone:
                                  kv_int8=kv_int8)
 
     def forward(self, params, hidden, cache, offset, lengths, rope=None,
-                stage_base=None, pooled=False):
+                stage_base=None, pooled=False, pool_base=None):
         return transformer_forward(
             params, self.cfg, hidden, cache, offset, lengths, rope,
-            stage_base=stage_base, pooled=pooled,
+            stage_base=stage_base, pooled=pooled, pool_base=pool_base,
         )

@@ -120,12 +120,14 @@ class ZonosModel:
         )
 
     def backbone_forward(self, params, hidden, cache, offset, lengths, rope=None,
-                         stage_base=None, pooled=False):
+                         stage_base=None, pooled=False, pool_base=None):
         kw = {}
         if stage_base is not None:
             kw["stage_base"] = stage_base
         if pooled:
             kw["pooled"] = True
+        if pool_base is not None:
+            kw["pool_base"] = pool_base
         return self.backbone.forward(
             params["backbone"], hidden, cache, offset, lengths, rope, **kw
         )
@@ -141,13 +143,14 @@ class ZonosModel:
         rope=None,
         stage_base=None,
         pooled=False,
+        pool_base=None,
     ):
         """Backbone -> last position -> heads -> CFG mix -> pad mask.
         (model.py:103-116). ``hidden`` is the CFG-doubled ``[2B, S, D]``
         batch; returns ``([B, K, V] logits, new_cache)``."""
         out, new_cache = self.backbone_forward(
             params, hidden, cache, offset, lengths, rope,
-            stage_base=stage_base, pooled=pooled,
+            stage_base=stage_base, pooled=pooled, pool_base=pool_base,
         )
         last = out[:, -1:, :]
         logits = self.apply_heads(params, last)[:, :, 0, :]  # [2B, K, V]

@@ -361,6 +361,79 @@ def decode_attention_pooled_auto(
     return _apply_scores(probs, vc, q.dtype)
 
 
+def decode_attention_pooled_staged_auto(
+    q: jnp.ndarray,  # [B, 1, Hq, D]
+    k_cache: jnp.ndarray,  # [L, B, Hkv, D, T] flushed prefixes, READ-ONLY
+    v_cache: jnp.ndarray,
+    k_stage: jnp.ndarray,  # [L, B, STAGE, Hkv*D] per-row ring stages
+    v_stage: jnp.ndarray,
+    k_cur: jnp.ndarray,  # [B, Hkv, D, 1]
+    v_cur: jnp.ndarray,
+    bases: jnp.ndarray,  # [B] int32 per-row flushed watermark
+    stage_lens: jnp.ndarray,  # [B] int32 valid ring rows (excl. cur)
+    layer: jnp.ndarray,
+) -> jnp.ndarray:
+    """Pooled decode attention with per-row ring stages: row b covers
+    flushed prefix [0, base_b) + ring window [base_b, base_b + len_b) +
+    current token. TPU: the pooled-staged Pallas kernel; fallback: dense
+    over a per-row spliced slab."""
+    B, S, Hq, D = q.shape
+    L, _, Hkv, _, T = k_cache.shape
+    ok = (
+        _PALLAS_DECODE != "0"
+        and S == 1
+        and Hq % Hkv == 0
+        and D % 8 == 0
+        and _decode_block_ok(T)
+        and (jax.default_backend() == "tpu" or _PALLAS_DECODE == "1")
+    )
+    if ok:
+        from .pallas.decode_attention import (
+            decode_attention_pallas_pooled_staged,
+        )
+
+        return decode_attention_pallas_pooled_staged(
+            q, k_cache, v_cache, k_stage, v_stage, k_cur, v_cur,
+            bases, stage_lens, layer, block=_PALLAS_BLOCK,
+        )
+    kc = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
+    vc = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
+    ks = jax.lax.dynamic_index_in_dim(k_stage, layer, 0, keepdims=False)
+    vs = jax.lax.dynamic_index_in_dim(v_stage, layer, 0, keepdims=False)
+    STAGE = ks.shape[1]
+    ks = ks.reshape(B, STAGE, Hkv, D)
+    vs = vs.reshape(B, STAGE, Hkv, D)
+    pe = jnp.asarray(bases, jnp.int32)
+    sl = jnp.asarray(stage_lens, jnp.int32)
+    # Per-row splice: position p in [base, base+len) takes ring row
+    # (p - base); position base+len takes the current column.
+    t_iota = jnp.arange(T, dtype=jnp.int32)[None, :]  # [1, T]
+    rel = t_iota - pe[:, None]  # [B, T]
+    in_ring = (rel >= 0) & (rel < sl[:, None])
+    is_cur = rel == sl[:, None]
+    ring_idx = jnp.clip(rel, 0, STAGE - 1)  # [B, T]
+    ring_k = jnp.take_along_axis(
+        ks, ring_idx[:, :, None, None].repeat(Hkv, 2).repeat(D, 3), axis=1
+    ).transpose(0, 2, 3, 1)  # [B, Hkv, D, T]
+    ring_v = jnp.take_along_axis(
+        vs, ring_idx[:, :, None, None].repeat(Hkv, 2).repeat(D, 3), axis=1
+    ).transpose(0, 2, 3, 1)
+    m_ring = in_ring[:, None, None, :]
+    m_cur = is_cur[:, None, None, :]
+    kc = jnp.where(m_ring, ring_k.astype(kc.dtype), kc)
+    vc = jnp.where(m_ring, ring_v.astype(vc.dtype), vc)
+    kc = jnp.where(m_cur, k_cur.astype(kc.dtype), kc)
+    vc = jnp.where(m_cur, v_cur.astype(vc.dtype), vc)
+    scores = _grouped_scores(q, kc)  # [B,Hkv,G,1,T]
+    valid = (
+        t_iota[:, None, None, None, :]
+        <= (pe + sl)[:, None, None, None, None]
+    )
+    scores = jnp.where(valid, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return _apply_scores(probs, vc, q.dtype)
+
+
 def decode_attention_auto(
     q: jnp.ndarray,
     k_cache: jnp.ndarray,
