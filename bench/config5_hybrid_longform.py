@@ -23,10 +23,16 @@ def main():
     from zonos_vibes_tpu.models.zonos import ZonosModel
     from zonos_vibes_tpu.ops.sampling import SamplingParams
 
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 86 * 60  # 60 s
+    args = [a for a in sys.argv[1:] if a != "int8"]
+    steps = int(args[0]) if args else 86 * 60  # 60 s
+    use_int8 = "int8" in sys.argv[1:]
 
     model = ZonosModel(ZONOS_V01_HYBRID)
     params = model.init(jax.random.key(0))
+    if use_int8:
+        from zonos_vibes_tpu.ops.quant import quantize_zonos_params
+
+        params = quantize_zonos_params(params, heads=True)
     engine = DecodeEngine(model)
     cond = model.prepare_conditioning(
         params, {"espeak": jnp.asarray(phoneme_batch([64]))}
@@ -42,7 +48,8 @@ def main():
 
     sec_per_call, codes = timed(run, warmup=1, iters=1)
     rtf = steps / FRAME_RATE / sec_per_call
-    report("rtf_hybrid_60s", rtf, "audio_s_per_s", rtf / REF_RTF)
+    name = "rtf_hybrid_60s_int8" if use_int8 else "rtf_hybrid_60s"
+    report(name, rtf, "audio_s_per_s", rtf / REF_RTF)
 
 
 if __name__ == "__main__":

@@ -21,6 +21,7 @@ CONFIGS = [
     ("config3_prefix_continuation", ["860"], ["108"]),
     ("config4_multilingual_batch", ["430", "8"], ["54", "8"]),
     ("config5_hybrid_longform", ["5160"], ["645"]),
+    ("config5_hybrid_longform_int8", ["5160", "int8"], ["645", "int8"]),
     # Simulated scaling (spoofed CPU mesh — forces its own platform/devices;
     # per-device work + collectives, projection anchored to config1's RTF).
     ("scaling_report", [], []),
@@ -31,7 +32,8 @@ def main():
     quick = "--quick" in sys.argv
     results = []
     for name, args, quick_args in CONFIGS:
-        script = "bench.py" if name == "headline_int8" else f"bench/{name}.py"
+        base = name.removesuffix("_int8") if name != "headline_int8" else name
+        script = "bench.py" if name == "headline_int8" else f"bench/{base}.py"
         argv = [sys.executable, script] + (quick_args if quick else args)
         t0 = time.time()
         proc = subprocess.run(
