@@ -30,6 +30,12 @@ FRAME_RATE = 44100 / 512  # 86.1328 Hz
 
 def main() -> None:
     from zonos_vibes_tpu.config import ZONOS_V01_TRANSFORMER
+    from zonos_vibes_tpu.utils import enable_persistent_compilation_cache
+
+    # Timing is post-warmup steady state; the persistent cache only skips
+    # recompiling the same program on reruns (first compile over the remote
+    # tunnel is minutes).
+    enable_persistent_compilation_cache()
     from zonos_vibes_tpu.engine.generate import DecodeEngine
     from zonos_vibes_tpu.models.zonos import ZonosModel
     from zonos_vibes_tpu.ops.sampling import SamplingParams

@@ -3,13 +3,19 @@
 S requests join the pool at STAGGERED positions — the scenario the pool
 exists for (simultaneous arrivals use group batching instead). Usage:
     python bench/pool_bench.py [slots] [int8]
+
+Prints ONE JSON line in the BENCH_SUITE format (aggregate audio-s/s).
 """
+import json
 import sys, time
 sys.path.insert(0, ".")
 import jax, jax.numpy as jnp
 
 from zonos_vibes_tpu.config import ZONOS_V01_TRANSFORMER
 from zonos_vibes_tpu.engine import pool as plib
+from zonos_vibes_tpu.utils import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
 from zonos_vibes_tpu.models.zonos import ZonosModel
 from zonos_vibes_tpu.ops.sampling import SamplingParams
 
@@ -41,4 +47,12 @@ pool = plib.pool_steps_jit(model, params, pool, jax.random.key(10), 86, 2.0, SP)
 jax.device_get(pool["pos"])
 el = time.perf_counter() - t0
 ms = el / 86 * 1000
-print(f"pooled S={S}: {ms:.2f} ms/step -> aggregate {S/86.1328/(el/86):.1f} audio-s/s")
+agg = S / 86.1328 / (el / 86)
+mode = "_int8" if "int8" in sys.argv else ""
+print(json.dumps({
+    "metric": f"aggregate_rtf_pooled{S}_staggered{mode}",
+    "value": round(agg, 4),
+    "unit": "audio_s_per_s",
+    "vs_baseline": round(agg / 2.0, 4),
+    "ms_per_step": round(ms, 2),
+}))

@@ -15,25 +15,30 @@ import sys
 import time
 
 CONFIGS = [
-    ("headline_int8", ["430", "int8"], ["54", "int8"]),  # bench.py, int8
-    ("config1_sample_path", ["430"], ["54"]),
-    ("config2_voice_clone", ["1290"], ["160"]),
-    ("config3_prefix_continuation", ["860"], ["108"]),
-    ("config4_multilingual_batch", ["430", "8"], ["54", "8"]),
-    ("config5_hybrid_longform", ["5160"], ["645"]),
-    ("config5_hybrid_longform_int8", ["5160", "int8"], ["645", "int8"]),
+    # (name, script, full args, --quick args)
+    ("headline_int8", "bench.py", ["430", "int8"], ["54", "int8"]),
+    ("config1_sample_path", None, ["430"], ["54"]),
+    ("config2_voice_clone", None, ["1290"], ["160"]),
+    ("config3_prefix_continuation", None, ["860"], ["108"]),
+    ("config4_multilingual_batch", None, ["430", "8"], ["54", "8"]),
+    ("config5_hybrid_longform", None, ["5160"], ["645"]),
+    ("config5_hybrid_longform_int8", None, ["5160", "int8"], ["645", "int8"]),
+    # Continuous-batching pool: 8 STAGGERED requests share one compiled step.
+    ("pool8_staggered", "bench/pool_bench.py", ["8"], ["8"]),
+    ("pool8_staggered_int8", "bench/pool_bench.py", ["8", "int8"], ["8", "int8"]),
     # Simulated scaling (spoofed CPU mesh — forces its own platform/devices;
     # per-device work + collectives, projection anchored to config1's RTF).
-    ("scaling_report", [], []),
+    ("scaling_report", None, [], []),
 ]
 
 
 def main():
     quick = "--quick" in sys.argv
     results = []
-    for name, args, quick_args in CONFIGS:
-        base = name.removesuffix("_int8") if name != "headline_int8" else name
-        script = "bench.py" if name == "headline_int8" else f"bench/{base}.py"
+    for name, script, args, quick_args in CONFIGS:
+        if script is None:
+            base = name.removesuffix("_int8")
+            script = f"bench/{base}.py"
         argv = [sys.executable, script] + (quick_args if quick else args)
         t0 = time.time()
         proc = subprocess.run(
