@@ -40,20 +40,26 @@ def main() -> None:
     from zonos_vibes_tpu.models.zonos import ZonosModel
     from zonos_vibes_tpu.ops.sampling import SamplingParams
 
-    args = [a for a in sys.argv[1:] if a != "int8"]
+    modes = {"int8", "int4", "int4full"}
+    args = [a for a in sys.argv[1:] if a not in modes]
     steps = int(args[0]) if args else 430  # 5 s of audio
-    use_int8 = "int8" in sys.argv[1:]
+    mode = next((a for a in sys.argv[1:] if a in modes), "bf16")
 
     model = ZonosModel(ZONOS_V01_TRANSFORMER)
     params = model.init(jax.random.key(0))
-    if use_int8:
+    if mode != "bf16":
         # int8 phase 2: backbone projections + output heads as int8
         # weights, and the flushed KV prefix as int8 + per-(head, token)
         # scales (kv_int8 engine mode; stage/current stay exact bf16).
+        # int4 phase 3 (experimental): "int4" = MLP weights s4 (attention/
+        # heads int8); "int4full" = every backbone projection s4.
         from zonos_vibes_tpu.ops.quant import quantize_zonos_params
 
-        params = quantize_zonos_params(params, heads=True)
-    engine = DecodeEngine(model, kv_int8=use_int8)
+        bits = 4 if mode == "int4full" else 8
+        mlp_bits = 4 if mode.startswith("int4") else None
+        params = quantize_zonos_params(params, heads=True, bits=bits,
+                                       mlp_bits=mlp_bits)
+    engine = DecodeEngine(model, kv_int8=mode != "bf16")
 
     # Conditioning prefix: typical phonemized-sentence length (~60 tokens).
     phonemes = jnp.concatenate(
@@ -87,7 +93,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "rtf_per_chip_int8" if use_int8 else "rtf_per_chip",
+                "metric": "rtf_per_chip" if mode == "bf16"
+                          else f"rtf_per_chip_{mode}",
                 "value": round(rtf, 4),
                 "unit": "audio_s_per_s",
                 "vs_baseline": round(rtf / 2.0, 4),

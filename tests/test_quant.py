@@ -131,6 +131,70 @@ def test_int8_heads_and_embeddings_phase2():
     shard_pytree(qparams, specs, make_mesh(MeshConfig(data=2, model=4)))
 
 
+def test_quantize_int4_roundtrip_and_matmul():
+    """int4 phase 3: values live as s4 on device (two-per-byte in HBM);
+    per-out-channel scale dequant bounds the round-trip at absmax/14 per
+    column. Matmul error vs dense is bounded by int4's inherent step noise
+    (absmax/7 per weight, uniform): rel tolerance ~sqrt(1/12)*step/std."""
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((128, 64)).astype(np.float32))
+    q = quantize_weight(w, bits=4)
+    assert q["weight_int4"].dtype == jnp.int4
+    assert q["scale"].shape == (1, 64)
+    back = dequantize_weight(q, jnp.float32)
+    col_absmax = np.abs(np.asarray(w)).max(axis=0)
+    err = np.abs(np.asarray(back) - np.asarray(w))
+    assert (err <= col_absmax[None, :] / 14 + 1e-6).all()
+
+    x = jnp.asarray(rng.standard_normal((2, 128)).astype(np.float32))
+    dense = np.asarray(proj_matmul(x, {"weight": w}))
+    quant = np.asarray(proj_matmul(x, q))
+    # Output noise std ~= (step/sqrt(12)) * |x| per column; absmax ~3.3std
+    # at n=128 -> ~14% of the output std. Bound at 6 sigma of that.
+    out_std = dense.std()
+    assert np.abs(quant - dense).max() < 0.9 * out_std + 0.05
+
+
+def test_quantized_generation_int4_modes():
+    """Full-int4 and mixed (attn int8 + MLP int4) params generate, shard,
+    and keep the valid-length/shape contract on both backbones."""
+    from zonos_vibes_tpu.config import MeshConfig
+    from zonos_vibes_tpu.parallel.sharding import (
+        make_mesh, shard_pytree, zonos_param_specs,
+    )
+
+    for cfg in (TINY, TINY_HYBRID):
+        model = ZonosModel(cfg)
+        params = model.init(jax.random.key(0), jnp.float32)
+        cond = model.prepare_conditioning(
+            params, {"espeak": jnp.asarray([[2, 10, 20, 30, 3]])}
+        )
+        kwargs = dict(
+            key=jax.random.key(7), max_new_tokens=5,
+            sampling_params=SamplingParams(temperature=0.0), disable_eos=True,
+        )
+        ref = DecodeEngine(model).generate(params, cond, **kwargs)
+        for qkw in (dict(bits=4), dict(bits=8, mlp_bits=4)):
+            qparams = quantize_zonos_params(params, **qkw)
+            leaves = jax.tree.leaves(
+                qparams, is_leaf=lambda x: isinstance(x, dict))
+            qres = DecodeEngine(model).generate(qparams, cond, **kwargs)
+            assert qres.codes.shape == ref.codes.shape
+            assert int(qres.valid_length) == int(ref.valid_length)
+            specs = zonos_param_specs(qparams)
+            jax.tree.map(lambda a, b: None, qparams, specs)
+            shard_pytree(qparams, specs, make_mesh(MeshConfig(data=2, model=4)))
+
+    # Mixed mode really is mixed: fc at int4, attention in_proj at int8.
+    model = ZonosModel(TINY)
+    qparams = quantize_zonos_params(
+        model.init(jax.random.key(0), jnp.float32), bits=8, mlp_bits=4)
+    layers = qparams["backbone"]["layers"]
+    assert "weight_int4" in layers["fc1"] and "weight_int4" in layers["fc2"]
+    assert "weight_int8" in layers["in_proj"]
+    assert "weight_int8" in qparams["heads"]  # heads never drop below int8
+
+
 def test_kv_int8_decode_close_to_exact_cache():
     """int8-KV engine run vs the exact-cache engine: same first frames
     (quantization error well under the logit noise floor early) and valid

@@ -74,6 +74,10 @@ def main():
         in_planes=4, embd_dim=24, lda_dim=16, depths=(1, 1, 1, 1)
     )
     pipe.speaker_params = pipe.speaker_encoder.init(jax.random.key(1))
+    if "--int4-mlp" in sys.argv:
+        pipe.quantize_int4(mixed=True)
+    elif "--int8" in sys.argv:
+        pipe.quantize_int8()
     pooled = "--pooled" in sys.argv
     srv = TTSServer(pipe, host="127.0.0.1", port=port,
                     batch_window_s=1.0, request_timeout_s=600,

@@ -23,44 +23,72 @@ import jax
 import jax.numpy as jnp
 
 
-def quantize_weight(w: jnp.ndarray) -> dict:
-    """``[..., in, out]`` float -> int8 + per-out-channel scale (fp32).
+def quantize_weight(w: jnp.ndarray, bits: int = 8) -> dict:
+    """``[..., in, out]`` float -> int8/int4 + per-out-channel scale (fp32).
     Leading axes (e.g. the stacked-layer axis) are preserved. Quantization
     math runs HOST-side (numpy): it is one-time load work, and doing it on
-    device would spike HBM with fp32 copies of multi-GB stacked tensors."""
+    device would spike HBM with fp32 copies of multi-GB stacked tensors.
+
+    ``bits=4`` (phase 3, experimental): values live as XLA ``s4`` on device
+    (packed two-per-byte in HBM — quarter the bf16 weight read). The
+    per-out-channel scale commutes with the contraction exactly like int8,
+    so the dequant stays a fused operand convert + one post-dot rescale.
+    int4's ~13-17% per-weight noise is inherent to 15 levels (absmax/7 step
+    on a gaussian column) — serving quality is the caller's tradeoff; the
+    heads/embeddings never go below int8."""
     import numpy as np
 
+    assert bits in (8, 4), bits
+    qmax = 127.0 if bits == 8 else 7.0
     w32 = np.asarray(jax.device_get(w), np.float32)
     absmax = np.max(np.abs(w32), axis=-2, keepdims=True)  # [..., 1, out]
-    scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
-    q = np.clip(np.round(w32 / scale), -127, 127).astype(np.int8)
+    scale = np.where(absmax > 0, absmax / qmax, 1.0).astype(np.float32)
+    q = np.clip(np.round(w32 / scale), -qmax, qmax).astype(np.int8)
+    if bits == 4:
+        return {"weight_int4": _to_device_int4(q), "scale": jnp.asarray(scale)}
     return {"weight_int8": jnp.asarray(q), "scale": jnp.asarray(scale)}
 
 
+def _to_device_int4(q_int8) -> jnp.ndarray:
+    """int8 host array (values in ±7) -> device ``s4`` array. The convert
+    runs ON DEVICE under jit: the remote-TPU (axon) platform cannot
+    device_put host s4 buffers (its shard_arg path recurses), but a jitted
+    ``convert_element_type`` produces a resident s4 array fine."""
+    return jax.jit(lambda z: z.astype(jnp.int4))(jnp.asarray(q_int8))
+
+
 def proj_matmul(x: jnp.ndarray, p: dict) -> jnp.ndarray:
-    """``x @ W`` for either a bf16 leaf ``{"weight"}`` or a quantized leaf
-    ``{"weight_int8", "scale"}``. Dequant is expressed so XLA fuses the
-    int8->activation-dtype convert into the dot's operand read."""
-    if "weight_int8" in p:
-        w = p["weight_int8"].astype(x.dtype)
-        y = x @ w
+    """``x @ W`` for a bf16 leaf ``{"weight"}`` or a quantized leaf
+    ``{"weight_int8"|"weight_int4", "scale"}``. Dequant is expressed so XLA
+    fuses the int->activation-dtype convert into the dot's operand read."""
+    wq = p.get("weight_int8", p.get("weight_int4"))
+    if wq is not None:
+        y = x @ wq.astype(x.dtype)
         return y * p["scale"].astype(y.dtype)
     return x @ p["weight"]
 
 
 _QUANT_KEYS = ("in_proj", "out_proj", "fc1", "fc2")
+_MLP_KEYS = ("fc1", "fc2")
 
 
-def quantize_backbone_params(backbone_params: dict) -> dict:
+def quantize_backbone_params(backbone_params: dict, bits: int = 8,
+                             mlp_bits: int | None = None) -> dict:
     """Quantize the transformer backbone's projection weights in place-like
     fashion (returns a new tree; norms/embeddings untouched). Works on the
     stacked-layer tree (models/backbone.init_transformer_backbone) and the
-    hybrid per-layer list (models/mamba_backbone.init)."""
+    hybrid per-layer list (models/mamba_backbone.init).
+
+    ``bits`` applies to attention/Mamba projections; ``mlp_bits`` (default
+    = ``bits``) to fc1/fc2. The MLP is ~83% of a flagship layer's weight
+    bytes, so the mixed ``bits=8, mlp_bits=4`` mode captures most of int4's
+    bandwidth win while keeping the residual-stream projections at int8."""
     def quantize_layer(layer: dict) -> dict:
         out = dict(layer)
         for k in _QUANT_KEYS:
             if k in layer and "weight" in layer[k]:
-                out[k] = quantize_weight(layer[k]["weight"])
+                b = (mlp_bits or bits) if k in _MLP_KEYS else bits
+                out[k] = quantize_weight(layer[k]["weight"], bits=b)
         return out
 
     out = dict(backbone_params)
@@ -73,9 +101,11 @@ def quantize_backbone_params(backbone_params: dict) -> dict:
 
 
 def quantize_zonos_params(params: dict, heads: bool = True,
-                          embeddings: bool = False) -> dict:
-    """Full-model variant: backbone projections int8; conditioners stay
-    bf16 (negligible bytes).
+                          embeddings: bool = False, bits: int = 8,
+                          mlp_bits: int | None = None) -> dict:
+    """Full-model variant: backbone projections int8 (or int4/mixed via
+    ``bits``/``mlp_bits``); conditioners stay bf16 (negligible bytes).
+    Heads/embeddings never drop below int8 (logit-sensitive).
 
     ``heads`` (int8 phase 2): the 9 output heads are ``K x D x 1152`` —
     ~2% of the remaining per-step HBM traffic once the backbone is int8;
@@ -86,7 +116,8 @@ def quantize_zonos_params(params: dict, heads: bool = True,
     not bandwidth — supported for completeness. A zero-size ``act_dtype``
     marker preserves the activation dtype the bf16 table produced."""
     out = dict(params)
-    out["backbone"] = quantize_backbone_params(params["backbone"])
+    out["backbone"] = quantize_backbone_params(
+        params["backbone"], bits=bits, mlp_bits=mlp_bits)
     if heads and "weight" in params["heads"]:
         out["heads"] = quantize_weight(params["heads"]["weight"])
     if embeddings and "weight" in params["embeddings"]:
@@ -99,7 +130,8 @@ def quantize_zonos_params(params: dict, heads: bool = True,
 
 def dequantize_weight(p: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
     """Materialize the bf16 weight (tests / fallback paths)."""
-    return (p["weight_int8"].astype(jnp.float32) * p["scale"]).astype(dtype)
+    wq = p.get("weight_int8", p.get("weight_int4"))
+    return (wq.astype(jnp.float32) * p["scale"]).astype(dtype)
 
 
 def quantize_kv(x: jnp.ndarray, dh_axis: int):

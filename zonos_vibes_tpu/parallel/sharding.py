@@ -47,13 +47,14 @@ def _proj_spec(leaf: dict, wspec: P) -> dict:
     int8 weight-only ``{"weight_int8", "scale"}`` (ops/quant). The scale is
     per-output-channel ``[..., 1, out]`` — same layout as the weight, so it
     takes the same spec."""
-    if "weight_int8" in leaf:
+    wkey = next((k for k in ("weight_int8", "weight_int4") if k in leaf), None)
+    if wkey is not None:
         # Scale is [..., 1, out]: its contraction axis is size 1, so that
         # axis must stay unsharded even for row-parallel weights.
         axes = list(wspec)
         if len(axes) >= 2:
             axes[-2] = None
-        return {"weight_int8": wspec, "scale": P(*axes)}
+        return {wkey: wspec, "scale": P(*axes)}
     return {"weight": wspec}
 
 

@@ -239,6 +239,19 @@ class ZonosPipeline:
         self.params = quantize_zonos_params(self.params)
         return self
 
+    def quantize_int4(self, mixed: bool = True) -> "ZonosPipeline":
+        """int4 phase 3 (experimental): backbone MLP weights as s4 (packed
+        two-per-byte in HBM; the MLP is ~83% of layer weight bytes).
+        ``mixed=True`` keeps attention/Mamba projections and heads at int8;
+        ``mixed=False`` stores every backbone projection at int4. int4's
+        ~14% per-weight noise is audible territory on a real checkpoint —
+        this is a bandwidth/quality dial, not the default."""
+        from .ops.quant import quantize_zonos_params
+
+        self.params = quantize_zonos_params(
+            self.params, bits=8 if mixed else 4, mlp_bits=4)
+        return self
+
     def speaker_shape(self) -> tuple:
         """Shape of a speaker embedding cond entry ``[1, 1, cond_dim]``
         (128 for the shipped checkpoints, model.py:95) — used by server

@@ -875,6 +875,10 @@ def main() -> None:
                     help="precompile default request shapes before serving")
     ap.add_argument("--int8", action="store_true",
                     help="int8 weight-only backbone (1.6x decode speedup)")
+    ap.add_argument("--int4-mlp", action="store_true",
+                    help="experimental: MLP weights as int4 (attention and "
+                         "heads stay int8) — more decode bandwidth headroom "
+                         "at a measurable quality cost")
     ap.add_argument("--compilation-cache", default=None, metavar="DIR",
                     help="persistent XLA compilation cache directory")
     ap.add_argument("--heartbeat-interval-s", type=float, default=0.0,
@@ -903,7 +907,11 @@ def main() -> None:
     if args.hybrid_config and args.hybrid_weights:
         extra = {"hybrid": ZonosPipeline.from_local(
             args.hybrid_config, args.hybrid_weights)}
-    if args.int8:
+    if args.int4_mlp:
+        pipeline.quantize_int4(mixed=True)
+        for p in (extra or {}).values():
+            p.quantize_int4(mixed=True)
+    elif args.int8:
         pipeline.quantize_int8()
         for p in (extra or {}).values():
             p.quantize_int8()
