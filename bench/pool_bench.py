@@ -2,7 +2,7 @@
 
 S requests join the pool at STAGGERED positions — the scenario the pool
 exists for (simultaneous arrivals use group batching instead). Usage:
-    python bench/pool_bench.py [slots] [int8]
+    python bench/pool_bench.py [slots] [int8] [hybrid]
 
 Prints ONE JSON line in the BENCH_SUITE format (aggregate audio-s/s).
 """
@@ -11,7 +11,7 @@ import sys, time
 sys.path.insert(0, ".")
 import jax, jax.numpy as jnp
 
-from zonos_vibes_tpu.config import ZONOS_V01_TRANSFORMER
+from zonos_vibes_tpu.config import ZONOS_V01_HYBRID, ZONOS_V01_TRANSFORMER
 from zonos_vibes_tpu.engine import pool as plib
 from zonos_vibes_tpu.utils import enable_persistent_compilation_cache
 
@@ -20,7 +20,8 @@ from zonos_vibes_tpu.models.zonos import ZonosModel
 from zonos_vibes_tpu.ops.sampling import SamplingParams
 
 S = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-model = ZonosModel(ZONOS_V01_TRANSFORMER)
+hybrid = "hybrid" in sys.argv
+model = ZonosModel(ZONOS_V01_HYBRID if hybrid else ZONOS_V01_TRANSFORMER)
 params = model.init(jax.random.key(0))
 if "int8" in sys.argv:
     from zonos_vibes_tpu.ops.quant import quantize_zonos_params
@@ -48,7 +49,7 @@ jax.device_get(pool["pos"])
 el = time.perf_counter() - t0
 ms = el / 86 * 1000
 agg = S / 86.1328 / (el / 86)
-mode = "_int8" if "int8" in sys.argv else ""
+mode = ("_hybrid" if hybrid else "") + ("_int8" if "int8" in sys.argv else "")
 print(json.dumps({
     "metric": f"aggregate_rtf_pooled{S}_staggered{mode}",
     "value": round(agg, 4),

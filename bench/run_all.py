@@ -2,9 +2,11 @@
 BENCH_SUITE.json. Each config runs in its own interpreter (clean compile
 cache, isolated HBM). Usage:
 
-    python bench/run_all.py [--quick]
+    python bench/run_all.py [--quick] [--only name1,name2]
 
 --quick shrinks step counts ~8x for smoke runs.
+--only runs a subset and MERGES the rows into the existing BENCH_SUITE.json
+(other rows kept) instead of overwriting the whole file.
 """
 
 from __future__ import annotations
@@ -23,9 +25,13 @@ CONFIGS = [
     ("config4_multilingual_batch", None, ["430", "8"], ["54", "8"]),
     ("config5_hybrid_longform", None, ["5160"], ["645"]),
     ("config5_hybrid_longform_int8", None, ["5160", "int8"], ["645", "int8"]),
-    # Continuous-batching pool: 8 STAGGERED requests share one compiled step.
+    # Continuous-batching pool: STAGGERED requests share one compiled step.
     ("pool8_staggered", "bench/pool_bench.py", ["8"], ["8"]),
     ("pool8_staggered_int8", "bench/pool_bench.py", ["8", "int8"], ["8", "int8"]),
+    ("pool16_staggered_int8", "bench/pool_bench.py", ["16", "int8"], ["16", "int8"]),
+    ("pool8_hybrid_int8", "bench/pool_bench.py", ["8", "int8", "hybrid"], ["8", "int8", "hybrid"]),
+    # Streaming latency: wall to the first ~0.5 s waveform chunk.
+    ("latency_ttfa", "bench/latency_ttfa.py", [], []),
     # Simulated scaling (spoofed CPU mesh — forces its own platform/devices;
     # per-device work + collectives, projection anchored to config1's RTF).
     ("scaling_report", None, [], []),
@@ -34,8 +40,13 @@ CONFIGS = [
 
 def main():
     quick = "--quick" in sys.argv
+    only = None
+    for i, a in enumerate(sys.argv):
+        if a == "--only" and i + 1 < len(sys.argv):
+            only = set(sys.argv[i + 1].split(","))
+    configs = [c for c in CONFIGS if only is None or c[0] in only]
     results = []
-    for name, script, args, quick_args in CONFIGS:
+    for name, script, args, quick_args in configs:
         if script is None:
             base = name.removesuffix("_int8")
             script = f"bench/{base}.py"
@@ -59,6 +70,14 @@ def main():
             entry["error"] = (proc.stderr or proc.stdout)[-2000:]
         results.append(entry)
         print(json.dumps(entry))
+    if only is not None:
+        try:
+            with open("BENCH_SUITE.json") as f:
+                existing = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            existing = []
+        ran = {r["config"] for r in results}
+        results = [r for r in existing if r["config"] not in ran] + results
     with open("BENCH_SUITE.json", "w") as f:
         json.dump(results, f, indent=1)
 
