@@ -299,3 +299,76 @@ def test_pooled_staged_fallback_matches_kernel():
                                                    interpret=True)
     np.testing.assert_allclose(np.asarray(out_fb), np.asarray(out_kn),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("layer", [0, 1])
+def test_pooled_staged_q_kernel_matches_dense(layer):
+    """int8-KV pooled ring-stage kernel: quantized flushed prefix
+    [0, base_b) + exact ring window + exact current column, per-row phases —
+    vs a dense per-row reference over the DEQUANTIZED slab (the kernel's
+    in-read dequant + scale folding must match mathematical dequant)."""
+    from zonos_vibes_tpu.ops.pallas.decode_attention import (
+        decode_attention_pallas_pooled_staged_q,
+    )
+    from zonos_vibes_tpu.ops.quant import quantize_kv
+
+    rng = np.random.default_rng(19)
+    L, B, Hq, Hkv, D, T, STAGE = 2, 3, 8, 2, 64, 256, 16
+    q, kc, vc, ks, vs, k_cur, v_cur = _rand_staged(rng, L, B, Hq, Hkv, D, T,
+                                                   STAGE=STAGE)
+    qk, sk = quantize_kv(kc, dh_axis=3)
+    qv, sv = quantize_kv(vc, dh_axis=3)
+    deq_k = qk.astype(jnp.float32) * sk[:, :, :, None, :]
+    deq_v = qv.astype(jnp.float32) * sv[:, :, :, None, :]
+    bases = np.asarray([40, 0, 201], np.int32)
+    lens = np.asarray([5, 0, 14], np.int32)
+
+    slab_k, slab_v = np.array(deq_k[layer]), np.array(deq_v[layer])
+    ks_r = np.asarray(ks[layer]).reshape(B, STAGE, Hkv, D)
+    vs_r = np.asarray(vs[layer]).reshape(B, STAGE, Hkv, D)
+    outs = []
+    for b in range(B):
+        for s in range(int(lens[b])):
+            slab_k[b, :, :, bases[b] + s] = ks_r[b, s]
+            slab_v[b, :, :, bases[b] + s] = vs_r[b, s]
+        cur = int(bases[b] + lens[b])
+        slab_k[b, :, :, cur] = np.asarray(k_cur[b, ..., 0])
+        slab_v[b, :, :, cur] = np.asarray(v_cur[b, ..., 0])
+        outs.append(decode_attention(
+            q[b : b + 1], jnp.asarray(slab_k[b : b + 1]),
+            jnp.asarray(slab_v[b : b + 1]), jnp.int32(cur + 1),
+        ))
+    ref = jnp.concatenate(outs, axis=0)
+
+    out = decode_attention_pallas_pooled_staged_q(
+        q, qk, qv, sk, sv, ks, vs, k_cur, v_cur, jnp.asarray(bases),
+        jnp.asarray(lens), jnp.int32(layer), block=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pooled_staged_q_fallback_matches_kernel():
+    from zonos_vibes_tpu.ops.attention import (
+        decode_attention_pooled_staged_q_auto,
+    )
+    from zonos_vibes_tpu.ops.pallas.decode_attention import (
+        decode_attention_pallas_pooled_staged_q,
+    )
+    from zonos_vibes_tpu.ops.quant import quantize_kv
+
+    rng = np.random.default_rng(23)
+    L, B, Hq, Hkv, D, T, STAGE = 2, 2, 8, 2, 64, 256, 16
+    q, kc, vc, ks, vs, k_cur, v_cur = _rand_staged(rng, L, B, Hq, Hkv, D, T,
+                                                   STAGE=STAGE)
+    qk, sk = quantize_kv(kc, dh_axis=3)
+    qv, sv = quantize_kv(vc, dh_axis=3)
+    bases = jnp.asarray([64, 130], jnp.int32)
+    lens = jnp.asarray([7, 0], jnp.int32)
+    args = (q, qk, qv, sk, sv, ks, vs, k_cur, v_cur, bases, lens,
+            jnp.int32(1))
+    out_fb = decode_attention_pooled_staged_q_auto(*args)
+    out_kn = decode_attention_pallas_pooled_staged_q(*args, block=128,
+                                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(out_fb), np.asarray(out_kn),
+                               rtol=2e-4, atol=2e-4)

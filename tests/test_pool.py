@@ -28,9 +28,9 @@ def _cond(model, params, tokens):
 
 
 def _run_pool_row(model, params, pool, slot, cond, mnt, seed, cfg=2.0,
-                  steps_per_slice=7):
+                  steps_per_slice=7, kv_int8=False):
     req = plib.prefill_request(model, params, cond, jax.random.key(seed),
-                               mnt, cfg, GREEDY)
+                               mnt, cfg, GREEDY, kv_int8=kv_int8)
     pool = plib.join(pool, req, slot, cond.shape[1], seed)
     return pool
 
@@ -185,6 +185,81 @@ def test_hybrid_pool_row_isolation_staggered_join():
 
     a_solo, _ = run(None)
     a_shared, b_shared = run(3)
+    np.testing.assert_array_equal(np.asarray(a_solo[0]),
+                                  np.asarray(a_shared[0]))
+    assert a_solo[1] == a_shared[1]
+    assert b_shared is not None and b_shared[1] > 0
+
+
+# ---------------------------------------------------------------------------
+# int8-KV pool (int8 phase 2, pooled): the flushed prefixes cross HBM as
+# int8 + per-(head, token) scales; ring window and current column stay
+# exact. A token's quantized value is independent of WHEN it flushes, so
+# pooled codes match the solo kv_int8 engine whenever flush boundaries
+# align — and a run that COMPLETES inside one ring segment never reads a
+# differently-flushed token at all.
+# ---------------------------------------------------------------------------
+
+
+def test_pool_kv_int8_greedy_matches_solo_kv_int8_engine():
+    """A pooled int8-KV row finishing within one ring segment emits exactly
+    the solo kv_int8 engine's codes (identical quantization points: the
+    prefix was quantized at prefill-splice in both paths)."""
+    model, params = _setup()
+    engine = DecodeEngine(model, kv_int8=True)
+    cond = _cond(model, params, [2, 10, 20, 30, 3])
+    mnt = 16
+
+    ref = engine.generate(params, cond, key=jax.random.key(7),
+                          max_new_tokens=mnt, sampling_params=GREEDY)
+
+    pool = plib.make_pool(model, PC, jnp.float32, kv_int8=True)
+    assert pool["cache"]["k"].dtype == jnp.int8
+    pool = _run_pool_row(model, params, pool, 0, cond, mnt, seed=7,
+                         kv_int8=True)
+    pool = plib.pool_steps_jit(model, params, pool, jax.random.key(0),
+                               32, 2.0, GREEDY)
+    assert plib.row_finished(pool, 0)
+    codes, valid = plib.extract_row(model, pool, 0)
+    assert valid == int(ref.valid_length)
+    np.testing.assert_array_equal(
+        np.asarray(codes), np.asarray(ref.codes[0, :, :valid])
+    )
+
+
+def test_pool_kv_int8_row_isolation_across_flush():
+    """int8-KV rows are isolated ACROSS quantized ring flushes: with row A's
+    segment boundaries held fixed (3 steps, then 5-step segments — flushes
+    quantize A's tokens at the same absolute positions either way), A's
+    codes are identical whether it decodes alone or with B joining after
+    the first segment."""
+    model, params = _setup()
+    cond_a = _cond(model, params, [2, 5, 6, 7, 3])
+    cond_b = _cond(model, params, [2, 9, 8, 3])
+    mnt = 14
+    base = jax.random.key(42)
+
+    def run(with_b):
+        pool = plib.make_pool(model, PC, jnp.float32, kv_int8=True)
+        pool = _run_pool_row(model, params, pool, 0, cond_a, mnt, seed=1,
+                             kv_int8=True)
+        pool = plib.pool_steps_jit(model, params, pool, base, 3, 2.0, GREEDY)
+        if with_b:
+            pool = _run_pool_row(model, params, pool, 1, cond_b, mnt, seed=2,
+                                 kv_int8=True)
+        for _ in range(30):
+            pool = plib.pool_steps_jit(model, params, pool, base, 5, 2.0,
+                                       GREEDY)
+            if plib.row_finished(pool, 0) and (
+                not with_b or plib.row_finished(pool, 1)
+            ):
+                break
+        a = plib.extract_row(model, pool, 0)
+        b = plib.extract_row(model, pool, 1) if with_b else None
+        return a, b
+
+    a_solo, _ = run(False)
+    a_shared, b_shared = run(True)
     np.testing.assert_array_equal(np.asarray(a_solo[0]),
                                   np.asarray(a_shared[0]))
     assert a_solo[1] == a_shared[1]

@@ -68,19 +68,29 @@ def _pool_cache_len(model: ZonosModel, pc: PoolConfig) -> int:
     return _find_multiple(seq, 512 if seq >= 1024 else 8)
 
 
-def make_pool(model: ZonosModel, pc: PoolConfig, dtype=jnp.bfloat16) -> dict:
+def make_pool(model: ZonosModel, pc: PoolConfig, dtype=jnp.bfloat16,
+              kv_int8: bool = False) -> dict:
     """All-slots-free pool state. Transformer caches keep their time-major
     stage: pooled decode runs RING mode — each row's fresh columns land in
     its ring slot (pos - flush_base) and the strided time-minor splice
     happens once per segment (:func:`flush_pool_rings`). The hybrid cache
     pytree ({attn, runs, solo}) pools as-is: Mamba conv/SSM state is
     per-row recurrent state with no position, so only its attention layers
-    participate in the per-row position machinery."""
+    participate in the per-row position machinery.
+
+    ``kv_int8``: the flushed prefixes store int8 + per-(head, token) f32
+    scales (transformer caches only) — at pool scale the KV read is
+    ~100 KB/token/request and rivals the int8 weight read late in
+    generation; the ring window and current column stay exact, and
+    quantization rides the once-per-segment flush."""
     K = model.config.num_codebooks
     T = _pool_cache_len(model, pc)
-    cache = model.allocate_cache(2 * pc.slots, T, dtype)
+    cache = model.allocate_cache(2 * pc.slots, T, dtype, kv_int8=kv_int8)
     if "k" in cache:
-        cache = {k: cache[k] for k in ("k", "v", "k_stage", "v_stage")}
+        keys = ("k", "v", "k_stage", "v_stage") + (
+            ("k_scale", "v_scale") if kv_int8 else ()
+        )
+        cache = {k: cache[k] for k in keys}
     lbuf = pc.max_new_tokens + K
     S = pc.slots
     return {
@@ -106,14 +116,16 @@ def prefill_request(
     max_new_tokens: int,
     cfg_scale: float,
     sampling: SamplingParams,
+    kv_int8: bool = False,
 ) -> dict:
     """Solo prefill for a joining request (its own compiled cond-bucket
-    program); returns the request state to splice via :func:`join`."""
+    program); returns the request state to splice via :func:`join`.
+    ``kv_int8`` must match the pool's (the spliced cache layouts agree)."""
     K = model.config.num_codebooks
     empty_prefix = jnp.zeros((1, K, 0), jnp.int32)
     return prefill_jit(
         model, params, prefix_conditioning, empty_prefix, key,
-        0, int(max_new_tokens), float(cfg_scale), sampling, False,
+        0, int(max_new_tokens), float(cfg_scale), sampling, False, kv_int8,
     )
 
 
@@ -139,11 +151,16 @@ def _splice_cache_rows(pool_cache: dict, req_cache: dict, slot: int,
     if "k" in pool_cache:
         # Stage buffers are NOT spliced: a freshly prefilled request has an
         # empty ring (its prefix went through the direct prefill splice)
-        # and join resets the slot's watermark to pos.
+        # and join resets the slot's watermark to pos. int8-KV pools also
+        # splice the per-(head, token) scale rows ([L, B, Hkv, T], batch
+        # dim 1) — the solo prefill quantized its prefix at splice time.
+        keys = ("k", "v") + (
+            ("k_scale", "v_scale") if "k_scale" in pool_cache else ()
+        )
         return {
             **pool_cache,
             **{kk: row_splice(pool_cache[kk], req_cache[kk], 1)
-               for kk in ("k", "v")},
+               for kk in keys},
         }
     return {
         "attn": {
@@ -351,8 +368,33 @@ def flush_pool_rings(pool: dict) -> dict:
         return stage.reshape(L, B2, STAGE, Hkv, Dh).transpose(0, 1, 3, 4, 2)
 
     ks, vs = tm(cache["k_stage"]), tm(cache["v_stage"])
-    nk, nv = cache["k"], cache["v"]
     zero = jnp.zeros((), jnp.int32)
+    if "k_scale" in cache:
+        # int8-KV pool: quantization rides the flush (per-(head, token)
+        # absmax over head_dim — a token's quantized value is independent
+        # of WHEN it flushes, so pooled codes match the solo kv_int8
+        # engine whenever flush boundaries align).
+        from ..ops.quant import quantize_kv
+
+        qk, sk = quantize_kv(ks, dh_axis=3)  # [L,B2,Hkv,Dh,STAGE] / scales
+        qv, sv = quantize_kv(vs, dh_axis=3)
+        nk, nv = cache["k"], cache["v"]
+        nks, nvs = cache["k_scale"], cache["v_scale"]
+        for r in range(B2):
+            idx = (zero, jnp.int32(r), zero, zero, base2[r])
+            sidx = (zero, jnp.int32(r), zero, base2[r])
+            nk = jax.lax.dynamic_update_slice(nk, qk[:, r : r + 1], idx)
+            nv = jax.lax.dynamic_update_slice(nv, qv[:, r : r + 1], idx)
+            nks = jax.lax.dynamic_update_slice(nks, sk[:, r : r + 1], sidx)
+            nvs = jax.lax.dynamic_update_slice(nvs, sv[:, r : r + 1], sidx)
+        return {
+            **pool,
+            "cache": {**cache, "k": nk, "v": nv,
+                      "k_scale": nks, "v_scale": nvs},
+            "flush_base": pool["pos"],
+        }
+
+    nk, nv = cache["k"], cache["v"]
     for r in range(B2):
         idx = (zero, jnp.int32(r), zero, zero, base2[r])
         nk = jax.lax.dynamic_update_slice(nk, ks[:, r : r + 1], idx)

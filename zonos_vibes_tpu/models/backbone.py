@@ -34,6 +34,7 @@ from ..ops.attention import (
     decode_attention_layered_q_auto,
     decode_attention_pooled_auto,
     decode_attention_pooled_staged_auto,
+    decode_attention_pooled_staged_q_auto,
     prefill_attention_auto,
     update_kv_cache,
 )
@@ -289,7 +290,17 @@ def _stack_forward(
 
     def scan_body(carry, layer_params):
         h, l = carry
-        if is_decode and pooled and ring:
+        if is_decode and pooled and ring and kv_int8:
+            def attend(q, k, v):
+                k_col = k.astype(cdtype).transpose(0, 2, 3, 1)
+                v_col = v.astype(cdtype).transpose(0, 2, 3, 1)
+                y = decode_attention_pooled_staged_q_auto(
+                    q, cache["k"], cache["v"], cache["k_scale"],
+                    cache["v_scale"], cache["k_stage"], cache["v_stage"],
+                    k_col, v_col, ring_base, ring_len, l,
+                )
+                return y, k_col, v_col
+        elif is_decode and pooled and ring:
             def attend(q, k, v):
                 k_col = k.astype(cdtype).transpose(0, 2, 3, 1)
                 v_col = v.astype(cdtype).transpose(0, 2, 3, 1)

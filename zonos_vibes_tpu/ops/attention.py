@@ -434,6 +434,57 @@ def decode_attention_pooled_staged_auto(
     return _apply_scores(probs, vc, q.dtype)
 
 
+def decode_attention_pooled_staged_q_auto(
+    q: jnp.ndarray,  # [B, 1, Hq, D]
+    k_cache: jnp.ndarray,  # [L, B, Hkv, D, T] int8 flushed prefixes
+    v_cache: jnp.ndarray,  # int8
+    k_scale: jnp.ndarray,  # [L, B, Hkv, T] f32
+    v_scale: jnp.ndarray,  # [L, B, Hkv, T] f32
+    k_stage: jnp.ndarray,  # [L, B, STAGE, Hkv*D] per-row ring stages (exact)
+    v_stage: jnp.ndarray,
+    k_cur: jnp.ndarray,  # [B, Hkv, D, 1]
+    v_cur: jnp.ndarray,
+    bases: jnp.ndarray,  # [B] int32 per-row flushed watermark
+    stage_lens: jnp.ndarray,  # [B] int32 valid ring rows (excl. cur)
+    layer: jnp.ndarray,
+) -> jnp.ndarray:
+    """int8-KV pooled decode attention (ring mode): the per-row flushed
+    prefix crosses HBM as int8 + per-(head, token) scales; ring window and
+    current token stay exact. TPU: the quantized pooled-staged Pallas
+    kernel; fallback: dequantize this layer's slab and reuse the bf16
+    pooled-staged semantics."""
+    B, S, Hq, D = q.shape
+    L, _, Hkv, _, T = k_cache.shape
+    ok = (
+        _PALLAS_DECODE != "0"
+        and S == 1
+        and Hq % Hkv == 0
+        and D % 8 == 0
+        and _decode_block_ok(T)
+        and (jax.default_backend() == "tpu" or _PALLAS_DECODE == "1")
+    )
+    if ok:
+        from .pallas.decode_attention import (
+            decode_attention_pallas_pooled_staged_q,
+        )
+
+        return decode_attention_pallas_pooled_staged_q(
+            q, k_cache, v_cache, k_scale, v_scale, k_stage, v_stage,
+            k_cur, v_cur, bases, stage_lens, layer, block=_PALLAS_BLOCK,
+        )
+    kc = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=True)
+    vc = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=True)
+    ks = jax.lax.dynamic_index_in_dim(k_scale, layer, 0, keepdims=True)
+    vs = jax.lax.dynamic_index_in_dim(v_scale, layer, 0, keepdims=True)
+    kc = (kc.astype(jnp.float32) * ks[:, :, :, None, :]).astype(q.dtype)
+    vc = (vc.astype(jnp.float32) * vs[:, :, :, None, :]).astype(q.dtype)
+    kst = jax.lax.dynamic_index_in_dim(k_stage, layer, 0, keepdims=True)
+    vst = jax.lax.dynamic_index_in_dim(v_stage, layer, 0, keepdims=True)
+    return decode_attention_pooled_staged_auto(
+        q, kc, vc, kst, vst, k_cur, v_cur, bases, stage_lens, jnp.int32(0)
+    )
+
+
 def decode_attention_auto(
     q: jnp.ndarray,
     k_cache: jnp.ndarray,

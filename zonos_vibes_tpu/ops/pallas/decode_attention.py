@@ -862,6 +862,232 @@ def decode_attention_pallas_pooled_staged(
     return out.reshape(B, 1, Hq, D)
 
 
+def _kernel_pooled_staged_q(
+    scalars_ref,  # SMEM [1+2B]: (layer, base_0..base_{B-1}, len_0..len_{B-1})
+    q_ref,  # VMEM [1, Hq, D]
+    k_ref,  # VMEM [1, 1, Hkv*D, BLOCK] int8 flushed prefix
+    v_ref,  # VMEM [1, 1, Hkv*D, BLOCK] int8
+    ksc_ref,  # VMEM [1, 1, Hkv, BLOCK] f32 per-(head, token) key scales
+    vsc_ref,  # VMEM [1, 1, Hkv, BLOCK] f32 value scales
+    ks_ref,  # VMEM [1, 1, STAGE, Hkv*D] per-row ring stage (exact bf16)
+    vs_ref,  # VMEM [1, 1, STAGE, Hkv*D]
+    kc_ref,  # VMEM [1, 1, Hkv*D] current column (exact)
+    vc_ref,  # VMEM [1, 1, Hkv*D]
+    out_ref,  # VMEM [1, Hq, D]
+    acc_ref,  # VMEM [Hq, D] f32
+    m_ref,  # VMEM [Hq, 128] f32
+    l_ref,  # VMEM [Hq, 128] f32
+    *,
+    block: int,
+    scale: float,
+    n_kv_heads: int,
+    head_dim: int,
+    n_rows: int,
+):
+    """int8-KV pooled-staged flash-decode: the per-row flushed prefix
+    crosses HBM as int8 + per-(head, token) f32 scales (half the cache
+    traffic — at pool scale the KV read is ~100 KB/token/request and
+    rivals the int8 weight read late in generation), the ring window and
+    current column stay exact. Same per-row (base, len) machinery as
+    :func:`_kernel_pooled_staged`; same scale folding as
+    :func:`_kernel_layered_q` (key scales into the scores after the q.k
+    dot, value scales into the probabilities before the p.v dot)."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    base = scalars_ref[1 + b]
+    stage_len = scalars_ref[1 + n_rows + b]
+    nblocks = pl.cdiv(base, block)
+    Hq = q_ref.shape[1]
+    G = Hq // n_kv_heads
+    D = head_dim
+
+    def make_diag():
+        row_head = jax.lax.broadcasted_iota(
+            jnp.int32, (Hq, n_kv_heads * D), 0) // G
+        col_head = jax.lax.broadcasted_iota(
+            jnp.int32, (Hq, n_kv_heads * D), 1) // D
+        return row_head == col_head
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(t < nblocks)
+    def _():
+        diag = make_diag()
+        q_full = jnp.tile(q_ref[0].astype(jnp.float32) * scale,
+                          (1, n_kv_heads))
+        q_diag = jnp.where(diag, q_full, 0.0)
+        k = k_ref[0, 0].astype(jnp.float32)  # int8 -> f32 in operand read
+        v = v_ref[0, 0].astype(jnp.float32)
+        ksc = ksc_ref[0, 0]  # [Hkv, BLOCK] f32
+        vsc = vsc_ref[0, 0]
+        ks_rows = jnp.concatenate(
+            [jnp.broadcast_to(ksc[h : h + 1], (G, block))
+             for h in range(n_kv_heads)], axis=0,
+        )  # [Hq, BLOCK]
+        vs_rows = jnp.concatenate(
+            [jnp.broadcast_to(vsc[h : h + 1], (G, block))
+             for h in range(n_kv_heads)], axis=0,
+        )
+        scores = jax.lax.dot_general(
+            q_diag, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * ks_rows
+        pos = t * block + jax.lax.broadcasted_iota(jnp.int32, (Hq, block), 1)
+        scores = jnp.where(pos < base, scores, NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_ref[:, :1] = m_new
+        pv = jax.lax.dot_general(
+            p * vs_rows, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        pvm = jnp.where(diag, pv, 0.0)
+        own = pvm[:, :D]
+        for h in range(1, n_kv_heads):
+            own = own + pvm[:, h * D : (h + 1) * D]
+        acc_ref[:] = acc_ref[:] * alpha + own
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _():
+        # Exact ring stage + current column epilogue — identical to
+        # _kernel_pooled_staged's.
+        diag = make_diag()
+        STAGE = ks_ref.shape[2]
+        qT = jnp.transpose(q_ref[0].astype(jnp.float32) * scale)
+        qT_full = jnp.concatenate([qT] * n_kv_heads, axis=0)
+        rowT = jax.lax.broadcasted_iota(jnp.int32, (n_kv_heads * D, Hq), 0) // D
+        colT = jax.lax.broadcasted_iota(jnp.int32, (n_kv_heads * D, Hq), 1) // G
+        diagT = rowT == colT
+        qT_diag = jnp.where(diagT, qT_full, 0.0)
+
+        k_s = ks_ref[0, 0].astype(jnp.float32)
+        v_s = vs_ref[0, 0].astype(jnp.float32)
+        scores_sT = jax.lax.dot_general(
+            k_s, qT_diag, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        srow = jax.lax.broadcasted_iota(jnp.int32, (STAGE, Hq), 0)
+        scores_sT = jnp.where(srow < stage_len, scores_sT, NEG_INF)
+
+        kc = kc_ref[0, 0].astype(jnp.float32)
+        vc = vc_ref[0, 0].astype(jnp.float32)
+        s_curT = jnp.sum(qT_diag * kc[:, None], axis=0, keepdims=True)
+
+        tail_max = jnp.maximum(jnp.max(scores_sT, axis=0, keepdims=True),
+                               s_curT)
+        m_prevT = jnp.transpose(m_ref[:, :1])
+        m_finT = jnp.maximum(m_prevT, tail_max)
+        p_sT = jnp.exp(scores_sT - m_finT)
+        p_curT = jnp.exp(s_curT - m_finT)
+        alphaT = jnp.exp(m_prevT - m_finT)
+
+        pv_s = jax.lax.dot_general(
+            p_sT, v_s, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        vm = jnp.where(diag, jnp.broadcast_to(vc[None, :], diag.shape), 0.0)
+        tail = jnp.where(diag, pv_s, 0.0) + jnp.transpose(p_curT) * vm
+        own = tail[:, :D]
+        for h in range(1, n_kv_heads):
+            own = own + tail[:, h * D : (h + 1) * D]
+
+        alpha = jnp.transpose(alphaT)
+        l_fin = l_ref[:, :1] * alpha + jnp.transpose(
+            jnp.sum(p_sT, axis=0, keepdims=True) + p_curT
+        )
+        acc = acc_ref[:] * alpha + own
+        out_ref[0] = (acc / l_fin).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def decode_attention_pallas_pooled_staged_q(
+    q: jnp.ndarray,  # [B, 1, Hq, D]
+    k_cache: jnp.ndarray,  # [L, B, Hkv, D, T] int8 flushed prefixes
+    v_cache: jnp.ndarray,  # int8
+    k_scale: jnp.ndarray,  # [L, B, Hkv, T] f32
+    v_scale: jnp.ndarray,  # [L, B, Hkv, T] f32
+    k_stage: jnp.ndarray,  # [L, B, STAGE, Hkv*D] per-row ring stages (exact)
+    v_stage: jnp.ndarray,
+    k_cur: jnp.ndarray,  # [B, Hkv, D, 1]
+    v_cur: jnp.ndarray,
+    bases: jnp.ndarray,  # [B] int32 per-row flushed watermark
+    stage_lens: jnp.ndarray,  # [B] int32 per-row valid ring rows (excl. cur)
+    layer: jnp.ndarray,
+    block: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, S, Hq, D = q.shape
+    assert S == 1
+    assert k_cache.dtype == jnp.int8
+    L, _, Hkv, _, T = k_cache.shape
+    STAGE = k_stage.shape[2]
+    block = min(block, T)
+    if T % block:
+        block = T
+    nt = pl.cdiv(T, block)
+    scale = 1.0 / (D ** 0.5)
+
+    qg = q.reshape(B, Hq, D)
+    kcv = k_cache.reshape(L, B, Hkv * D, T)
+    vcv = v_cache.reshape(L, B, Hkv * D, T)
+    kcur = k_cur.reshape(B, 1, Hkv * D)
+    vcur = v_cur.reshape(B, 1, Hkv * D)
+    scalars = jnp.concatenate([
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        jnp.asarray(bases, jnp.int32).reshape(B),
+        jnp.asarray(stage_lens, jnp.int32).reshape(B),
+    ])
+
+    def kv_index(b, t, sc_ref):
+        last = jax.lax.max(pl.cdiv(sc_ref[1 + b], block) - 1, 0)
+        return (sc_ref[0], b, 0, jax.lax.min(t, last))
+
+    def stage_index(b, t, sc_ref):
+        return (sc_ref[0], b, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec((1, Hq, D), lambda b, t, sc: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hkv * D, block), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hkv * D, block), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hkv, block), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hkv, block), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, STAGE, Hkv * D), stage_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, STAGE, Hkv * D), stage_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hkv * D), lambda b, t, sc: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hkv * D), lambda b, t, sc: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Hq, D), lambda b, t, sc: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((Hq, D), jnp.float32),
+            pltpu.VMEM((Hq, 128), jnp.float32),
+            pltpu.VMEM((Hq, 128), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_pooled_staged_q, block=block, scale=scale,
+            n_kv_heads=Hkv, head_dim=D, n_rows=B,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(scalars, qg, kcv, vcv, k_scale, v_scale, k_stage, v_stage, kcur, vcur)
+    return out.reshape(B, 1, Hq, D)
+
+
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
 def decode_attention_pallas_pooled(
     q: jnp.ndarray,  # [B, 1, Hq, D]
