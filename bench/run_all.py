@@ -19,6 +19,7 @@ import time
 CONFIGS = [
     # (name, script, full args, --quick args)
     ("headline_int8", "bench.py", ["430", "int8"], ["54", "int8"]),
+    ("headline_bf16", "bench.py", ["430", "bf16"], ["54", "bf16"]),
     ("config1_sample_path", None, ["430"], ["54"]),
     ("config2_voice_clone", None, ["1290"], ["160"]),
     ("config3_prefix_continuation", None, ["860"], ["108"]),
@@ -30,6 +31,11 @@ CONFIGS = [
     ("pool8_staggered_int8", "bench/pool_bench.py", ["8", "int8"], ["8", "int8"]),
     ("pool16_staggered_int8", "bench/pool_bench.py", ["16", "int8"], ["16", "int8"]),
     ("pool8_hybrid_int8", "bench/pool_bench.py", ["8", "int8", "hybrid"], ["8", "int8", "hybrid"]),
+    # Late-generation operating point (rows ~20 s deep): the pooled KV read
+    # rivals the weight read — int8 KV (quantized ring flush) pays here.
+    ("pool8_int8_deep", "bench/pool_bench.py", ["8", "int8", "deep"], ["8", "int8", "deep"]),
+    ("pool8_int8_kvint8_deep", "bench/pool_bench.py",
+     ["8", "int8", "kvint8", "deep"], ["8", "int8", "kvint8", "deep"]),
     # Streaming latency: wall to the first ~0.5 s waveform chunk.
     ("latency_ttfa", "bench/latency_ttfa.py", [], []),
     # Simulated scaling (spoofed CPU mesh — forces its own platform/devices;

@@ -81,7 +81,8 @@ def main():
     pooled = "--pooled" in sys.argv
     srv = TTSServer(pipe, host="127.0.0.1", port=port,
                     batch_window_s=1.0, request_timeout_s=600,
-                    pooled=pooled, pool_slots=2)
+                    pooled=pooled, pool_slots=2,
+                    pool_kv_int8="--pool-kv-int8" in sys.argv)
     print(f"dev server on http://127.0.0.1:{port}", flush=True)
     srv.serve_forever()
 

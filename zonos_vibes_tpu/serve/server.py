@@ -157,6 +157,7 @@ class TTSServer:
         # (and warmup) share ONE compiled segment program family
         pooled: bool = False,
         pool_slots: int = 4,
+        pool_kv_int8: bool = False,
     ):
         self.pipeline = pipeline
         # Multi-model serving (the reference gradio's model selector,
@@ -182,6 +183,10 @@ class TTSServer:
         # paying full bandwidth as interleaved solo jobs.
         self.pooled = pooled
         self.pool_slots = pool_slots
+        # int8 KV cache for pool rows (transformer pipelines only): halves
+        # the pooled cache read — the dominant HBM stream late in
+        # generation at 8-16 rows (engine/pool.make_pool).
+        self.pool_kv_int8 = pool_kv_int8
         self._pool_jobs: dict = {}  # model name -> lazy _PoolJob
         self.queue: "queue.Queue[_Request]" = queue.Queue()
         self.metrics = Metrics()
@@ -887,6 +892,9 @@ def main() -> None:
                     help="continuous batching: staggered default-config "
                          "requests share one decode pool (engine/pool.py)")
     ap.add_argument("--pool-slots", type=int, default=4)
+    ap.add_argument("--pool-kv-int8", action="store_true",
+                    help="store pooled KV prefixes as int8 + per-token "
+                         "scales (transformer pools; halves the cache read)")
     args = ap.parse_args()
 
     from ..pipeline import ZonosPipeline
@@ -933,6 +941,7 @@ def main() -> None:
         pipeline, host=args.host, port=args.port, max_batch=args.max_batch,
         batch_window_s=args.batch_window_ms / 1000.0, monitor=monitor,
         extra_pipelines=extra, pooled=args.pooled, pool_slots=args.pool_slots,
+        pool_kv_int8=args.pool_kv_int8,
     )
     if args.warmup:
         tracing.log_event("warmup_start")
@@ -1031,6 +1040,11 @@ class _PoolJob:
         self.plib = plib
         self.pipe = srv.pipelines[model_name]
         self.pc = plib.PoolConfig(slots=srv.pool_slots)
+        # int8 KV is a transformer-cache feature; hybrid pipelines keep
+        # exact caches (their Mamba state has no quantized path).
+        self.kv_int8 = bool(
+            srv.pool_kv_int8 and not self.pipe.model.config.backbone.is_hybrid
+        )
         self.pool = self._fresh_pool()
         self.base_key = jax.random.key(srv.seed)
         self.rows: dict[int, tuple] = {}  # slot -> (req, parsed, t0)
@@ -1040,7 +1054,8 @@ class _PoolJob:
         # Cache dtype follows the activation dtype (bf16 for real
         # checkpoints, fp32 in CPU tests).
         emb0 = jax.tree_util.tree_leaves(self.pipe.params)[0]
-        return self.plib.make_pool(self.pipe.model, self.pc, emb0.dtype)
+        return self.plib.make_pool(self.pipe.model, self.pc, emb0.dtype,
+                                   kv_int8=self.kv_int8)
 
     def admit(self, req: _Request, r: dict, jobs: list) -> bool:
         slot = next(
@@ -1066,6 +1081,7 @@ class _PoolJob:
         req_state = self.plib.prefill_request(
             pipe.model, pipe.params, prefix_cond, key,
             mnt, self.srv.POOL_CFG_SCALE, DEFAULT_SAMPLING,
+            kv_int8=self.kv_int8,
         )
         row_seed = (r["seed"] * 1000003 + self.srv._req_counter) % (2 ** 31)
         self.pool = self.plib.join(
