@@ -686,3 +686,48 @@ def test_server_base64_audio_upload(server):
         {"text": "x", "speaker_audio": "!!!not-base64!!!"},
     )
     assert status4 == 400 and b"speaker_audio" in body4
+
+
+def test_pooled_server_kv_int8(pipe):
+    """--pool-kv-int8: the transformer pool stores int8 flushed prefixes
+    (cache dtype int8 + scale leaves) and serves requests end-to-end; a
+    hybrid pipeline's pool ignores the flag (no quantized Mamba-state
+    path)."""
+    from tests.test_parallel import TINY_HYBRID
+
+    hybrid = ZonosPipeline.from_config(
+        TINY_HYBRID, key=jax.random.key(5), dtype=jnp.float32,
+        dac=DACAutoencoder(TINY_DAC),
+    )
+    srv = TTSServer(pipe, host="127.0.0.1", port=5089, request_timeout_s=300,
+                    extra_pipelines={"hybrid": hybrid},
+                    pooled=True, pool_slots=2, segment_steps=6,
+                    pool_kv_int8=True)
+    srv.start_background()
+    try:
+        status, ctype, body = _post(
+            "http://127.0.0.1:5089/tts",
+            {"text": "Quantized pool request.", "max_new_tokens": 10,
+             "emotion": [0.3, 0.03, 0.03, 0.03, 0.03, 0.03, 0.25, 0.3]},
+        )
+        assert status == 200 and ctype == "audio/wav" and len(body) > 44
+        assert srv.metrics.snapshot()["pooled_requests"] == 1
+        job = srv._pool_jobs["default"]
+        assert job.kv_int8
+        assert job.pool["cache"]["k"].dtype == jnp.int8
+        assert "k_scale" in job.pool["cache"]
+
+        status, _, _ = _post(
+            "http://127.0.0.1:5089/tts",
+            {"text": "Hybrid exact pool.", "model": "hybrid",
+             "max_new_tokens": 10,
+             "emotion": [0.3, 0.03, 0.03, 0.03, 0.03, 0.03, 0.25, 0.3]},
+        )
+        assert status == 200
+        hjob = srv._pool_jobs["hybrid"]
+        assert not hjob.kv_int8
+        assert "k_scale" not in hjob.pool["cache"].get("attn", {}).get(
+            next(iter(hjob.pool["cache"]["attn"]), ""), {}
+        )
+    finally:
+        srv.shutdown()

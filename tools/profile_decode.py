@@ -8,7 +8,11 @@ via utils/tracing (TraceAnnotation wrappers around phonemize / conditioning
 
 Usage:
     python tools/profile_decode.py [steps] [--logdir DIR] [--int8]
+        [--pool SLOTS] [--kv-int8] [--deep]
 Prints the logdir; open with `tensorboard --logdir DIR` or xprof.
+``--pool``: trace one pooled segment (continuous-batching step) instead of
+solo generate; ``--deep`` bumps row positions ~20 s (late-generation KV
+traffic); ``--kv-int8`` uses the quantized pooled cache.
 """
 
 import sys
@@ -38,6 +42,10 @@ def main():
         from zonos_vibes_tpu.ops.quant import quantize_zonos_params
 
         params = quantize_zonos_params(params)
+
+    if "--pool" in sys.argv:
+        _profile_pool(model, params, steps, logdir)
+        return
     engine = DecodeEngine(model)
     cond = model.prepare_conditioning(
         params, {"espeak": jnp.asarray([[2] + [40] * 58 + [3]])}
@@ -57,6 +65,46 @@ def main():
         jax.device_get(res.codes)
     tracing.stop_trace()
     print(f"trace written to {logdir} ({steps} steps)")
+
+
+def _profile_pool(model, params, steps, logdir):
+    """Trace one pooled segment at a chosen operating point (slots joined
+    staggered; --deep bumps positions ~20 s so the per-step KV read is the
+    late-generation one)."""
+    from zonos_vibes_tpu.engine import pool as plib
+    from zonos_vibes_tpu.ops.sampling import SamplingParams
+    from zonos_vibes_tpu.utils import tracing
+
+    S = int(sys.argv[sys.argv.index("--pool") + 1])
+    kv_int8 = "--kv-int8" in sys.argv
+    pc = plib.PoolConfig(slots=S, max_cond_len=64, max_new_tokens=2580)
+    sp = SamplingParams(min_p=0.1)
+    pool = plib.make_pool(model, pc, kv_int8=kv_int8)
+    cond = model.prepare_conditioning(
+        params, {"espeak": jnp.asarray([[2] + [40] * 58 + [3]])}
+    )
+    for slot in range(S):
+        req = plib.prefill_request(model, params, cond, jax.random.key(slot),
+                                   2580, 2.0, sp, kv_int8=kv_int8)
+        pool = plib.join(pool, req, slot, cond.shape[1], slot)
+        pool = plib.pool_steps_jit(model, params, pool, jax.random.key(9),
+                                   3, 2.0, sp)
+    jax.device_get(pool["pos"])
+    if "--deep" in sys.argv:
+        DEPTH = 1720
+        pool = {**pool, "pos": pool["pos"] + DEPTH,
+                "step": pool["step"] + DEPTH,
+                "flush_base": pool["flush_base"] + DEPTH}
+    pool = plib.pool_steps_jit(model, params, pool, jax.random.key(9),
+                               steps, 2.0, sp)  # compile outside the trace
+    jax.device_get(pool["pos"])
+    tracing.start_trace(logdir)
+    with tracing.phase("pool_segment"):
+        pool = plib.pool_steps_jit(model, params, pool, jax.random.key(10),
+                                   steps, 2.0, sp)
+        jax.device_get(pool["pos"])
+    tracing.stop_trace()
+    print(f"pool trace written to {logdir} ({S} slots, {steps} steps)")
 
 
 if __name__ == "__main__":
