@@ -2,7 +2,7 @@
 
 S requests join the pool at STAGGERED positions — the scenario the pool
 exists for (simultaneous arrivals use group batching instead). Usage:
-    python bench/pool_bench.py [slots] [int8] [hybrid] [kvint8]
+    python bench/pool_bench.py [slots] [int8] [hybrid] [kvint8] [statebf16]
 
 Prints ONE JSON line in the BENCH_SUITE format (aggregate audio-s/s).
 """
@@ -27,9 +27,10 @@ if "int8" in sys.argv:
     from zonos_vibes_tpu.ops.quant import quantize_zonos_params
     params = quantize_zonos_params(params)
 kv_int8 = "kvint8" in sys.argv and not hybrid
+state_bf16 = "statebf16" in sys.argv and hybrid
 PC = plib.PoolConfig(slots=S, max_cond_len=64, max_new_tokens=2580)
 SP = SamplingParams(min_p=0.1)
-pool = plib.make_pool(model, PC, kv_int8=kv_int8)
+pool = plib.make_pool(model, PC, kv_int8=kv_int8, state_bf16=state_bf16)
 
 phon = jnp.asarray([[2] + [40] * 58 + [3]])
 cond = model.prepare_conditioning(params, {"espeak": phon})
@@ -37,7 +38,7 @@ cond = model.prepare_conditioning(params, {"espeak": phon})
 # plumbed; rows sample freely — row EOS may stop early, fine for timing).
 for slot in range(S):
     req = plib.prefill_request(model, params, cond, jax.random.key(slot), 2580, 2.0, SP,
-                               kv_int8=kv_int8)
+                               kv_int8=kv_int8, state_bf16=state_bf16)
     pool = plib.join(pool, req, slot, cond.shape[1], slot)
     pool = plib.pool_steps_jit(model, params, pool, jax.random.key(9), 3, 2.0, SP)
 jax.device_get(pool["pos"])
@@ -63,7 +64,8 @@ el = time.perf_counter() - t0
 ms = el / 86 * 1000
 agg = S / 86.1328 / (el / 86)
 mode = ("_hybrid" if hybrid else "") + ("_int8" if "int8" in sys.argv else "") \
-    + ("_kvint8" if kv_int8 else "") + ("_deep" if "deep" in sys.argv else "")
+    + ("_kvint8" if kv_int8 else "") + ("_statebf16" if state_bf16 else "") \
+    + ("_deep" if "deep" in sys.argv else "")
 print(json.dumps({
     "metric": f"aggregate_rtf_pooled{S}_staggered{mode}",
     "value": round(agg, 4),

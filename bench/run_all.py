@@ -31,6 +31,10 @@ CONFIGS = [
     ("pool8_staggered_int8", "bench/pool_bench.py", ["8", "int8"], ["8", "int8"]),
     ("pool16_staggered_int8", "bench/pool_bench.py", ["16", "int8"], ["16", "int8"]),
     ("pool8_hybrid_int8", "bench/pool_bench.py", ["8", "int8", "hybrid"], ["8", "int8", "hybrid"]),
+    # bf16 SSM-state storage: the fp32 state read+write dominates the
+    # hybrid pooled step (docs/KERNELS.md); bf16 storage halves it.
+    ("pool8_hybrid_int8_statebf16", "bench/pool_bench.py",
+     ["8", "int8", "hybrid", "statebf16"], ["8", "int8", "hybrid", "statebf16"]),
     # Late-generation operating point (rows ~20 s deep): the pooled KV read
     # rivals the weight read — int8 KV (quantized ring flush) pays here.
     ("pool8_int8_deep", "bench/pool_bench.py", ["8", "int8", "deep"], ["8", "int8", "deep"]),

@@ -731,3 +731,44 @@ def test_pooled_server_kv_int8(pipe):
         )
     finally:
         srv.shutdown()
+
+
+def test_pooled_server_state_bf16(pipe):
+    """--pool-state-bf16: a hybrid pipeline's pool stores bf16 SSM state
+    (run/solo ssm leaves) and serves end-to-end; the transformer pool
+    ignores the flag (no SSM state)."""
+    from tests.test_parallel import TINY_HYBRID
+
+    hybrid = ZonosPipeline.from_config(
+        TINY_HYBRID, key=jax.random.key(5), dtype=jnp.float32,
+        dac=DACAutoencoder(TINY_DAC),
+    )
+    srv = TTSServer(pipe, host="127.0.0.1", port=5090, request_timeout_s=300,
+                    extra_pipelines={"hybrid": hybrid},
+                    pooled=True, pool_slots=2, segment_steps=6,
+                    pool_state_bf16=True)
+    srv.start_background()
+    try:
+        status, ctype, body = _post(
+            "http://127.0.0.1:5090/tts",
+            {"text": "Compact state pool.", "model": "hybrid",
+             "max_new_tokens": 10,
+             "emotion": [0.3, 0.03, 0.03, 0.03, 0.03, 0.03, 0.25, 0.3]},
+        )
+        assert status == 200 and ctype == "audio/wav" and len(body) > 44
+        hjob = srv._pool_jobs["hybrid"]
+        assert hjob.state_bf16
+        for run in hjob.pool["cache"]["runs"]:
+            assert run["ssm"].dtype == jnp.bfloat16
+
+        status, _, _ = _post(
+            "http://127.0.0.1:5090/tts",
+            {"text": "Transformer ignores the flag.", "max_new_tokens": 10,
+             "emotion": [0.3, 0.03, 0.03, 0.03, 0.03, 0.03, 0.25, 0.3]},
+        )
+        assert status == 200
+        job = srv._pool_jobs["default"]
+        assert not job.state_bf16
+        assert job.pool["cache"]["k"].dtype == jnp.float32
+    finally:
+        srv.shutdown()

@@ -28,9 +28,10 @@ def _cond(model, params, tokens):
 
 
 def _run_pool_row(model, params, pool, slot, cond, mnt, seed, cfg=2.0,
-                  steps_per_slice=7, kv_int8=False):
+                  steps_per_slice=7, kv_int8=False, state_bf16=False):
     req = plib.prefill_request(model, params, cond, jax.random.key(seed),
-                               mnt, cfg, GREEDY, kv_int8=kv_int8)
+                               mnt, cfg, GREEDY, kv_int8=kv_int8,
+                               state_bf16=state_bf16)
     pool = plib.join(pool, req, slot, cond.shape[1], seed)
     return pool
 
@@ -264,3 +265,44 @@ def test_pool_kv_int8_row_isolation_across_flush():
                                   np.asarray(a_shared[0]))
     assert a_solo[1] == a_shared[1]
     assert b_shared is not None and b_shared[1] > 0
+
+
+def test_hybrid_pool_state_bf16_matches_solo_state_bf16_engine():
+    """bf16 SSM-state storage (pooled-serving option): a pooled hybrid row
+    emits exactly the codes of a solo engine with the same bf16-state
+    option (both paths round the state at identical points), and the
+    cache leaves really are bf16 (halved state HBM traffic is the point —
+    docs/KERNELS.md)."""
+    model, params = _setup_hybrid()
+    engine = DecodeEngine(model, state_bf16=True)
+    cond = _cond(model, params, [2, 10, 20, 30, 3])
+    mnt = 16
+
+    ref = engine.generate(params, cond, key=jax.random.key(7),
+                          max_new_tokens=mnt, sampling_params=GREEDY)
+
+    pool = plib.make_pool(model, PC_H, jnp.float32, state_bf16=True)
+    for run in pool["cache"]["runs"]:
+        assert run["ssm"].dtype == jnp.bfloat16
+    for st in pool["cache"]["solo"].values():
+        assert st["ssm"].dtype == jnp.bfloat16
+    pool = _run_pool_row(model, params, pool, 0, cond, mnt, seed=7,
+                         state_bf16=True)
+    while not plib.row_finished(pool, 0):
+        pool = plib.pool_steps_jit(model, params, pool, jax.random.key(0),
+                                   5, 2.0, GREEDY)
+    codes, valid = plib.extract_row(model, pool, 0)
+    assert valid == int(ref.valid_length)
+    np.testing.assert_array_equal(
+        np.asarray(codes), np.asarray(ref.codes[0, :, :valid])
+    )
+
+
+def test_state_bf16_on_transformer_raises():
+    """state_bf16 is hybrid-only — a transformer cache has no SSM state and
+    must fail loudly rather than silently ignore the flag."""
+    import pytest
+
+    model, params = _setup()
+    with pytest.raises(TypeError):
+        model.allocate_cache(2, 64, jnp.float32, state_bf16=True)

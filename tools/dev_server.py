@@ -63,6 +63,20 @@ TINY_CFG = ZonosConfig(
 )
 
 
+TINY_HYBRID_CFG = ZonosConfig(
+    backbone=BackboneConfig(
+        d_model=64, n_layer=3, d_intermediate=0,
+        attn_mlp_d_intermediate=96, attn_layer_idx=(1,),
+        ssm_cfg=_freeze({"layer": "Mamba2", "d_state": 16, "headdim": 16,
+                         "chunk_size": 8}),
+        attn_cfg=_freeze({"num_heads": 4, "num_heads_kv": 2,
+                          "rotary_emb_dim": 8}),
+        rms_norm=True, residual_in_fp32=True,
+    ),
+    prefix_conditioner=TINY_CFG.prefix_conditioner,
+)
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     port = int(args[0]) if args else 5050
@@ -78,11 +92,21 @@ def main():
         pipe.quantize_int4(mixed=True)
     elif "--int8" in sys.argv:
         pipe.quantize_int8()
+    extra = None
+    if "--hybrid" in sys.argv:
+        # Second model on the same queue ("model": "hybrid" in the payload)
+        # — the pool machinery builds a per-model pool for it.
+        extra = {"hybrid": ZonosPipeline.from_config(
+            TINY_HYBRID_CFG, key=jax.random.key(2), dtype=jnp.float32,
+            dac=DACAutoencoder(TINY_DAC),
+        )}
     pooled = "--pooled" in sys.argv
     srv = TTSServer(pipe, host="127.0.0.1", port=port,
                     batch_window_s=1.0, request_timeout_s=600,
+                    extra_pipelines=extra,
                     pooled=pooled, pool_slots=2,
-                    pool_kv_int8="--pool-kv-int8" in sys.argv)
+                    pool_kv_int8="--pool-kv-int8" in sys.argv,
+                    pool_state_bf16="--pool-state-bf16" in sys.argv)
     print(f"dev server on http://127.0.0.1:{port}", flush=True)
     srv.serve_forever()
 

@@ -7,8 +7,8 @@ via utils/tracing (TraceAnnotation wrappers around phonemize / conditioning
 / generate / vocode).
 
 Usage:
-    python tools/profile_decode.py [steps] [--logdir DIR] [--int8]
-        [--pool SLOTS] [--kv-int8] [--deep]
+    python tools/profile_decode.py [steps] [--logdir DIR] [--int8] [--hybrid]
+        [--pool SLOTS] [--kv-int8] [--state-bf16] [--deep]
 Prints the logdir; open with `tensorboard --logdir DIR` or xprof.
 ``--pool``: trace one pooled segment (continuous-batching step) instead of
 solo generate; ``--deep`` bumps row positions ~20 s (late-generation KV
@@ -30,13 +30,15 @@ def main():
     if "--logdir" in sys.argv:
         logdir = sys.argv[sys.argv.index("--logdir") + 1]
 
-    from zonos_vibes_tpu.config import ZONOS_V01_TRANSFORMER
+    from zonos_vibes_tpu.config import ZONOS_V01_HYBRID, ZONOS_V01_TRANSFORMER
     from zonos_vibes_tpu.engine.generate import DecodeEngine
     from zonos_vibes_tpu.models.zonos import ZonosModel
     from zonos_vibes_tpu.ops.sampling import SamplingParams
     from zonos_vibes_tpu.utils import tracing
 
-    model = ZonosModel(ZONOS_V01_TRANSFORMER)
+    model = ZonosModel(
+        ZONOS_V01_HYBRID if "--hybrid" in sys.argv else ZONOS_V01_TRANSFORMER
+    )
     params = model.init(jax.random.key(0))
     if "--int8" in sys.argv:
         from zonos_vibes_tpu.ops.quant import quantize_zonos_params
@@ -76,16 +78,18 @@ def _profile_pool(model, params, steps, logdir):
     from zonos_vibes_tpu.utils import tracing
 
     S = int(sys.argv[sys.argv.index("--pool") + 1])
-    kv_int8 = "--kv-int8" in sys.argv
+    kv_int8 = "--kv-int8" in sys.argv and "--hybrid" not in sys.argv
+    state_bf16 = "--state-bf16" in sys.argv and "--hybrid" in sys.argv
     pc = plib.PoolConfig(slots=S, max_cond_len=64, max_new_tokens=2580)
     sp = SamplingParams(min_p=0.1)
-    pool = plib.make_pool(model, pc, kv_int8=kv_int8)
+    pool = plib.make_pool(model, pc, kv_int8=kv_int8, state_bf16=state_bf16)
     cond = model.prepare_conditioning(
         params, {"espeak": jnp.asarray([[2] + [40] * 58 + [3]])}
     )
     for slot in range(S):
         req = plib.prefill_request(model, params, cond, jax.random.key(slot),
-                                   2580, 2.0, sp, kv_int8=kv_int8)
+                                   2580, 2.0, sp, kv_int8=kv_int8,
+                                   state_bf16=state_bf16)
         pool = plib.join(pool, req, slot, cond.shape[1], slot)
         pool = plib.pool_steps_jit(model, params, pool, jax.random.key(9),
                                    3, 2.0, sp)

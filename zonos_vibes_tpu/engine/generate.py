@@ -94,6 +94,7 @@ def _prefill_state(
     sampling: SamplingParams,
     disable_eos: bool = False,
     kv_int8: bool = False,
+    state_bf16: bool = False,
 ) -> dict:
     """Build caches, apply the delay pattern, run prefill, sample the first
     frame (model.py:241-264). Returns the decode-loop state pytree.
@@ -122,7 +123,7 @@ def _prefill_state(
     # Cache dtype follows the activation dtype (bf16 for real checkpoints,
     # fp32 in CPU tests — mixed bf16/fp32 dots don't lower on XLA:CPU).
     cache = model.allocate_cache(two_b, seq_len, prefix_conditioning.dtype,
-                                 kv_int8=kv_int8)
+                                 kv_int8=kv_int8, state_bf16=state_bf16)
 
     codes = jnp.full((batch, K, audio_seq_len), UNKNOWN_TOKEN, jnp.int32)
     if lp > 0:
@@ -332,7 +333,7 @@ def _finalize(model: ZonosModel, state: dict):
 
 _STATICS = (
     "model", "prefix_audio_len", "max_new_tokens", "cfg_scale", "sampling",
-    "disable_eos", "kv_int8",
+    "disable_eos", "kv_int8", "state_bf16",
 )
 
 
@@ -349,12 +350,13 @@ def generate_jit(
     sampling: SamplingParams,
     disable_eos: bool = False,
     kv_int8: bool = False,
+    state_bf16: bool = False,
 ):
     cond_len = prefix_conditioning.shape[1]
     state = _prefill_state(
         model, params, prefix_conditioning, audio_prefix_codes, key,
         prefix_audio_len, max_new_tokens, cfg_scale, sampling, disable_eos,
-        kv_int8=kv_int8,
+        kv_int8=kv_int8, state_bf16=state_bf16,
     )
     state = _decode_loop(
         model, params, state, cond_len, cfg_scale, sampling, disable_eos,
@@ -369,11 +371,12 @@ def prefill_jit(
     prefix_audio_len, max_new_tokens, cfg_scale, sampling,
     disable_eos: bool = False,
     kv_int8: bool = False,
+    state_bf16: bool = False,
 ):
     return _prefill_state(
         model, params, prefix_conditioning, audio_prefix_codes, key,
         prefix_audio_len, max_new_tokens, cfg_scale, sampling, disable_eos,
-        kv_int8=kv_int8,
+        kv_int8=kv_int8, state_bf16=state_bf16,
     )
 
 
@@ -406,9 +409,11 @@ class DecodeEngine:
     the staged tail and current token stay exact. Opt-in because it is a
     lossy cache representation (documented tolerance in tests/test_quant)."""
 
-    def __init__(self, model: ZonosModel, kv_int8: bool = False):
+    def __init__(self, model: ZonosModel, kv_int8: bool = False,
+                 state_bf16: bool = False):
         self.model = model
         self.kv_int8 = kv_int8
+        self.state_bf16 = state_bf16
 
     def _norm_args(self, prefix_conditioning, audio_prefix_codes,
                    sampling_params, cfg_scale):
@@ -454,6 +459,7 @@ class DecodeEngine:
             sampling_params,
             disable_eos,
             self.kv_int8,
+            self.state_bf16,
         )
         return GenerateResult(
             codes=codes, valid_length=valid, valid_lengths=valid_rows
@@ -484,6 +490,7 @@ class DecodeEngine:
             self.model, params, prefix_conditioning, audio_prefix_codes, key,
             int(audio_prefix_codes.shape[-1]), int(max_new_tokens),
             float(cfg_scale), sampling_params, disable_eos, self.kv_int8,
+            self.state_bf16,
         )
         while True:
             state, codes, valid, valid_rows, done = decode_segment_jit(

@@ -69,7 +69,7 @@ def _pool_cache_len(model: ZonosModel, pc: PoolConfig) -> int:
 
 
 def make_pool(model: ZonosModel, pc: PoolConfig, dtype=jnp.bfloat16,
-              kv_int8: bool = False) -> dict:
+              kv_int8: bool = False, state_bf16: bool = False) -> dict:
     """All-slots-free pool state. Transformer caches keep their time-major
     stage: pooled decode runs RING mode — each row's fresh columns land in
     its ring slot (pos - flush_base) and the strided time-minor splice
@@ -82,10 +82,17 @@ def make_pool(model: ZonosModel, pc: PoolConfig, dtype=jnp.bfloat16,
     scales (transformer caches only) — at pool scale the KV read is
     ~100 KB/token/request and rivals the int8 weight read late in
     generation; the ring window and current column stay exact, and
-    quantization rides the once-per-segment flush."""
+    quantization rides the once-per-segment flush.
+
+    ``state_bf16`` (hybrid caches only): store Mamba SSM state bf16
+    (recurrence still computes fp32) — at 16 pooled rows the fp32 state
+    read+write is ~4.4 ms/step, the dominant term of the hybrid pooled
+    step (docs/KERNELS.md); bf16 storage halves it. Opt-in because it is
+    a lossy state representation (documented tolerance in tests)."""
     K = model.config.num_codebooks
     T = _pool_cache_len(model, pc)
-    cache = model.allocate_cache(2 * pc.slots, T, dtype, kv_int8=kv_int8)
+    cache = model.allocate_cache(2 * pc.slots, T, dtype, kv_int8=kv_int8,
+                                 state_bf16=state_bf16)
     if "k" in cache:
         keys = ("k", "v", "k_stage", "v_stage") + (
             ("k_scale", "v_scale") if kv_int8 else ()
@@ -117,15 +124,18 @@ def prefill_request(
     cfg_scale: float,
     sampling: SamplingParams,
     kv_int8: bool = False,
+    state_bf16: bool = False,
 ) -> dict:
     """Solo prefill for a joining request (its own compiled cond-bucket
     program); returns the request state to splice via :func:`join`.
-    ``kv_int8`` must match the pool's (the spliced cache layouts agree)."""
+    ``kv_int8``/``state_bf16`` must match the pool's (the spliced cache
+    layouts agree)."""
     K = model.config.num_codebooks
     empty_prefix = jnp.zeros((1, K, 0), jnp.int32)
     return prefill_jit(
         model, params, prefix_conditioning, empty_prefix, key,
         0, int(max_new_tokens), float(cfg_scale), sampling, False, kv_int8,
+        state_bf16,
     )
 
 

@@ -197,12 +197,20 @@ class HybridBackbone:
 
     # -- cache --------------------------------------------------------------
 
-    def allocate_cache(self, batch: int, max_seqlen: int, dtype=jnp.bfloat16):
+    def allocate_cache(self, batch: int, max_seqlen: int, dtype=jnp.bfloat16,
+                       state_dtype=jnp.float32):
         """Cache pytree mirroring ``_layout``: attention KV per layer (keyed
         by layer index as str), Mamba conv/SSM states STACKED per run
         ``[R, ...]`` so the decode scan carries them without per-step
         restacking (the analogue of the reference's per-layer
-        ``key_value_memory_dict``, config.py:8-25)."""
+        ``key_value_memory_dict``, config.py:8-25).
+
+        ``state_dtype``: SSM-state STORAGE dtype. Default fp32 matches the
+        reference's mamba-ssm state. ``jnp.bfloat16`` is the batched-serving
+        option: the recurrent update still computes in fp32 (ssd_step
+        upcasts on read) but the state crosses HBM at half width — at 16
+        pooled rows the fp32 state read+write is ~4.4 ms/step, the dominant
+        term of the hybrid pooled step (docs/KERNELS.md)."""
         s = self.ssm
         attn, runs, solos = {}, [], {}
         for elem in self._layout:
@@ -214,14 +222,14 @@ class HybridBackbone:
                 solos[str(elem[1])] = {
                     "conv": jnp.zeros((batch, s.d_conv - 1, s.conv_dim), dtype),
                     "ssm": jnp.zeros((batch, s.nheads, s.headdim, s.d_state),
-                                     jnp.float32),
+                                     state_dtype),
                 }
             else:
                 R = len(elem[2])
                 runs.append({
                     "conv": jnp.zeros((R, batch, s.d_conv - 1, s.conv_dim), dtype),
                     "ssm": jnp.zeros((R, batch, s.nheads, s.headdim, s.d_state),
-                                     jnp.float32),
+                                     state_dtype),
                 })
         return {"attn": attn, "runs": runs, "solo": solos}
 
@@ -253,8 +261,10 @@ class HybridBackbone:
             xs, Bm, Cm = jnp.split(
                 xBC_t, [s.d_inner, s.d_inner + s.ngroups * s.d_state], axis=-1
             )
+            # State storage may be bf16 (pooled serving); the recurrence
+            # itself always runs fp32 — upcast on read, downcast on store.
             y, ssm_state = ssd_step(
-                cache["ssm"],
+                cache["ssm"].astype(jnp.float32),
                 xs.reshape(B, s.nheads, s.headdim),
                 dt[:, 0],
                 A,
@@ -287,7 +297,8 @@ class HybridBackbone:
         y = rms_norm(y * jax.nn.silu(z), lp["ssm_norm"]["weight"],
                      self.cfg.norm_epsilon)
         out = proj_matmul(y, lp["out_proj"])
-        return out, {"conv": conv_state, "ssm": ssm_state}
+        return out, {"conv": conv_state,
+                     "ssm": ssm_state.astype(cache["ssm"].dtype)}
 
     def _attn_mixer(self, lp, x, cache, offset, positions, is_decode: bool,
                     row_pos=None):

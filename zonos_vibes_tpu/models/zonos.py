@@ -165,12 +165,19 @@ class ZonosModel:
         return logits, new_cache
 
     def allocate_cache(self, batch_size: int, max_seqlen: int,
-                       dtype=jnp.bfloat16, kv_int8: bool = False):
+                       dtype=jnp.bfloat16, kv_int8: bool = False,
+                       state_bf16: bool = False):
         if kv_int8:
             # Transformer-only (int8 phase 2): loud TypeError on backbones
             # without the quantized-cache path.
             return self.backbone.allocate_cache(
                 batch_size, max_seqlen, dtype, kv_int8=True
+            )
+        if state_bf16:
+            # Hybrid-only: bf16 SSM-state storage (fp32 compute) for pooled
+            # serving; loud TypeError on backbones without SSM state.
+            return self.backbone.allocate_cache(
+                batch_size, max_seqlen, dtype, state_dtype=jnp.bfloat16
             )
         return self.backbone.allocate_cache(batch_size, max_seqlen, dtype)
 

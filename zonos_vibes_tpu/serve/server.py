@@ -158,6 +158,7 @@ class TTSServer:
         pooled: bool = False,
         pool_slots: int = 4,
         pool_kv_int8: bool = False,
+        pool_state_bf16: bool = False,
     ):
         self.pipeline = pipeline
         # Multi-model serving (the reference gradio's model selector,
@@ -187,6 +188,10 @@ class TTSServer:
         # the pooled cache read — the dominant HBM stream late in
         # generation at 8-16 rows (engine/pool.make_pool).
         self.pool_kv_int8 = pool_kv_int8
+        # bf16 SSM-state storage for hybrid pool rows (fp32 compute):
+        # halves the state read+write, the dominant HBM stream of the
+        # hybrid pooled step at 8-16 rows (engine/pool.make_pool).
+        self.pool_state_bf16 = pool_state_bf16
         self._pool_jobs: dict = {}  # model name -> lazy _PoolJob
         self.queue: "queue.Queue[_Request]" = queue.Queue()
         self.metrics = Metrics()
@@ -895,6 +900,10 @@ def main() -> None:
     ap.add_argument("--pool-kv-int8", action="store_true",
                     help="store pooled KV prefixes as int8 + per-token "
                          "scales (transformer pools; halves the cache read)")
+    ap.add_argument("--pool-state-bf16", action="store_true",
+                    help="store pooled Mamba SSM state as bf16, fp32 "
+                         "compute (hybrid pools; halves the state "
+                         "read+write — the dominant pooled-step stream)")
     args = ap.parse_args()
 
     from ..pipeline import ZonosPipeline
@@ -942,6 +951,7 @@ def main() -> None:
         batch_window_s=args.batch_window_ms / 1000.0, monitor=monitor,
         extra_pipelines=extra, pooled=args.pooled, pool_slots=args.pool_slots,
         pool_kv_int8=args.pool_kv_int8,
+        pool_state_bf16=args.pool_state_bf16,
     )
     if args.warmup:
         tracing.log_event("warmup_start")
@@ -1045,6 +1055,10 @@ class _PoolJob:
         self.kv_int8 = bool(
             srv.pool_kv_int8 and not self.pipe.model.config.backbone.is_hybrid
         )
+        # bf16 SSM state is the hybrid-cache analogue of int8 KV.
+        self.state_bf16 = bool(
+            srv.pool_state_bf16 and self.pipe.model.config.backbone.is_hybrid
+        )
         self.pool = self._fresh_pool()
         self.base_key = jax.random.key(srv.seed)
         self.rows: dict[int, tuple] = {}  # slot -> (req, parsed, t0)
@@ -1055,7 +1069,8 @@ class _PoolJob:
         # checkpoints, fp32 in CPU tests).
         emb0 = jax.tree_util.tree_leaves(self.pipe.params)[0]
         return self.plib.make_pool(self.pipe.model, self.pc, emb0.dtype,
-                                   kv_int8=self.kv_int8)
+                                   kv_int8=self.kv_int8,
+                                   state_bf16=self.state_bf16)
 
     def admit(self, req: _Request, r: dict, jobs: list) -> bool:
         slot = next(
@@ -1081,7 +1096,7 @@ class _PoolJob:
         req_state = self.plib.prefill_request(
             pipe.model, pipe.params, prefix_cond, key,
             mnt, self.srv.POOL_CFG_SCALE, DEFAULT_SAMPLING,
-            kv_int8=self.kv_int8,
+            kv_int8=self.kv_int8, state_bf16=self.state_bf16,
         )
         row_seed = (r["seed"] * 1000003 + self.srv._req_counter) % (2 ** 31)
         self.pool = self.plib.join(
