@@ -151,3 +151,69 @@ def test_ssd_vs_independent_fp64_oracle():
         ys.append(np.asarray(y_t, np.float64))
     np.testing.assert_allclose(np.stack(ys, axis=1), y_oracle,
                                rtol=2e-3, atol=2e-3)
+
+
+def test_fused_ssd_gate_step_kernel_matches_chain():
+    """The fused Pallas decode core (state update + C·h readout + D skip +
+    silu gate + gated RMSNorm) matches the XLA op chain it replaces
+    (ssd_step + y*silu(z) + rms_norm) bit-for-bit in fp32 (interpret mode;
+    ngroups=1, the flagship layout)."""
+    from zonos_vibes_tpu.ops.norms import rms_norm
+    from zonos_vibes_tpu.ops.pallas.mamba_step import ssd_gate_step_pallas
+
+    B, H, P, N = 3, 8, 16, 16
+    HP = H * P
+    rng = np.random.default_rng(11)
+    f32 = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))  # noqa: E731
+    state = f32(B, H, P, N)
+    xs = f32(B, H, P)
+    dt = jnp.asarray(
+        np.log1p(np.exp(rng.standard_normal((B, H)))).astype(np.float32)
+    )
+    A = jnp.asarray(-np.exp(rng.standard_normal(H)).astype(np.float32))
+    Bm, Cm = f32(B, 1, N) * 0.5, f32(B, 1, N) * 0.5
+    D = f32(H)
+    z = f32(B, HP)
+    w = f32(HP) * 0.1 + 1.0
+    eps = 1e-5
+
+    y_ref, ns_ref = ssd_step(state, xs, dt, A, Bm, Cm, D)
+    g_ref = rms_norm(y_ref.reshape(B, HP) * jax.nn.silu(z), w, eps)
+
+    decay = jnp.exp(dt * A[None, :])
+    sc = lambda a: a[..., None, None]  # [B,H] -> [B,H,1,1]  # noqa: E731
+    y_k, ns_k = ssd_gate_step_pallas(
+        state, xs[..., None], sc(dt), sc(decay),
+        Bm[:, :, None, :], Cm[:, :, None, :], sc(D[None].repeat(B, 0)),
+        z.reshape(B, H, P, 1), w.reshape(H, P, 1),
+        eps=eps, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(ns_k), np.asarray(ns_ref),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y_k.reshape(B, HP)),
+                               np.asarray(g_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_ssd_gate_step_kernel_bf16_state():
+    """bf16 state storage through the fused kernel: compute runs fp32, the
+    stored state is the bf16 rounding of the fp32 update (same contract as
+    the XLA chain with state_bf16)."""
+    from zonos_vibes_tpu.ops.pallas.mamba_step import ssd_gate_step_pallas
+
+    B, H, P, N = 2, 4, 8, 16
+    rng = np.random.default_rng(5)
+    f32 = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))  # noqa: E731
+    state = f32(B, H, P, N).astype(jnp.bfloat16)
+    xs, z = f32(B, H, P, 1), f32(B, H, P, 1)
+    dt = jnp.abs(f32(B, H, 1, 1)) + 0.1
+    decay = jnp.exp(-dt)
+    Bm, Cm = f32(B, 1, 1, N), f32(B, 1, 1, N)
+    D, w = f32(B, H, 1, 1), f32(H, P, 1)
+
+    y, ns = ssd_gate_step_pallas(state, xs, dt, decay, Bm, Cm, D, z, w,
+                                 interpret=True)
+    assert ns.dtype == jnp.bfloat16
+    exact = state.astype(jnp.float32) * decay + (dt * xs) * Bm
+    np.testing.assert_array_equal(
+        np.asarray(ns), np.asarray(exact.astype(jnp.bfloat16))
+    )

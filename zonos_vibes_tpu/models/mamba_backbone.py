@@ -32,6 +32,7 @@ reference's ``key_value_memory_dict`` (config.py:8-25).
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +44,33 @@ from ..ops.attention import (
     prefill_attention_auto,
     update_kv_cache,
 )
+from ..ops.pallas.mamba_step import ssd_gate_step_pallas
+
+_PALLAS_MAMBA = os.environ.get("ZVT_PALLAS_MAMBA", "0")
+
+
+def _fused_step_eligible(s) -> bool:
+    """Fused decode-core kernel dispatch (ops/pallas/mamba_step.py).
+
+    DEFAULT OFF — measured SLOWER in-program: the pooled hybrid step went
+    11.48 -> 19.62 ms/step at 8 slots with the kernel on. The state update
+    and C·h readout are lane-efficient in the cache's native [B, H, P, N]
+    layout, but everything after the lane-reduction (D skip, silu gate,
+    gated RMSNorm) runs on [H, P, 1] data — 1 of 128 lanes — and that VPU
+    crawl dwarfs the fusion-gap savings. A winning version needs the state
+    stored lane-transposed ([B, N, H*P]: update broadcasts [1, HP] lane
+    vectors, readout is a SUBLANE reduction, gate/norm stay lane-parallel)
+    which is a cache-layout change (allocate/splice/prefill restack) — see
+    docs/KERNELS.md. Greedy codes match the XLA chain exactly on TPU when
+    enabled (ZVT_PALLAS_MAMBA=1; requires ngroups==1)."""
+    if _PALLAS_MAMBA == "0":
+        return False
+    ok = (
+        s.ngroups == 1
+        and s.headdim % 8 == 0
+        and jax.default_backend() == "tpu"
+    )
+    return ok if _PALLAS_MAMBA == "auto" else True
 from ..ops.mamba import (
     causal_conv1d,
     causal_conv1d_step,
@@ -261,6 +289,30 @@ class HybridBackbone:
             xs, Bm, Cm = jnp.split(
                 xBC_t, [s.d_inner, s.d_inner + s.ngroups * s.d_state], axis=-1
             )
+            if _fused_step_eligible(s):
+                # Fused Pallas core: state update + C·h readout + D skip +
+                # silu(z) gate + gated RMSNorm in one kernel, state held in
+                # VMEM across the chain (ops/pallas/mamba_step.py). The
+                # state buffer is consumed in its native [B, H, P, N]
+                # layout — no reshape between buffer and pallas_call.
+                H, P = s.nheads, s.headdim
+                dt0 = dt[:, 0]                                  # [B, H] f32
+                decay = jnp.exp(dt0 * A[None, :])
+                sc = lambda a: a[..., None, None]  # noqa: E731
+                y_g, ssm_state = ssd_gate_step_pallas(
+                    cache["ssm"],
+                    xs.reshape(B, H, P)[..., None],
+                    sc(dt0), sc(decay),
+                    Bm.reshape(B, 1, 1, s.d_state),
+                    Cm.reshape(B, 1, 1, s.d_state),
+                    sc(jnp.broadcast_to(lp["D"][None], (B, H))),
+                    z[:, 0].reshape(B, H, P, 1),
+                    lp["ssm_norm"]["weight"].reshape(H, P, 1),
+                    eps=self.cfg.norm_epsilon,
+                )
+                out = proj_matmul(y_g.reshape(B, 1, s.d_inner),
+                                  lp["out_proj"])
+                return out, {"conv": conv_state, "ssm": ssm_state}
             # State storage may be bf16 (pooled serving); the recurrence
             # itself always runs fp32 — upcast on read, downcast on store.
             y, ssm_state = ssd_step(
