@@ -107,3 +107,35 @@ def test_prefill_then_decode_consistency():
     np.testing.assert_allclose(
         np.asarray(full[:, -1:]), np.asarray(step), rtol=1e-5, atol=1e-5
     )
+
+
+def test_rope_expanded_table_bit_exact():
+    """The pre-expanded [P, 2, D] table (expand_rope_table) and the raw
+    [P, D/2, 2] table produce BIT-identical rotations, and the swap-matmul
+    formulation matches the slice/stack spec exactly in fp32 (the swap
+    matrix has one 1.0 per column — no rounding)."""
+    from zonos_vibes_tpu.ops.rope import expand_rope_table
+
+    rng = np.random.default_rng(7)
+    for B, S, H, D in [(2, 1, 32, 64), (1, 5, 4, 8)]:
+        x = jnp.asarray(
+            rng.standard_normal((B, S, H, D)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        pos = jnp.asarray(rng.integers(0, 1000, (B, S)).astype(np.int32))
+        table = rope_table(D, max_positions=1024)
+        raw = np.asarray(apply_rope(x, pos, table)).view(np.uint16)
+        exp = np.asarray(
+            apply_rope(x, pos, expand_rope_table(table))
+        ).view(np.uint16)
+        assert np.array_equal(raw, exp)
+
+        # Slice/stack executable spec (the pre-rewrite formulation).
+        cs = table[pos]
+        cos = cs[..., 0][:, :, None, :]
+        sin = cs[..., 1][:, :, None, :]
+        xf = x.astype(jnp.float32).reshape(B, S, H, D // 2, 2)
+        xr, xi = xf[..., 0], xf[..., 1]
+        spec = jnp.stack(
+            [xr * cos - xi * sin, xr * sin + xi * cos], axis=-1
+        ).reshape(B, S, H, D).astype(x.dtype)
+        assert np.array_equal(np.asarray(spec).view(np.uint16), raw)

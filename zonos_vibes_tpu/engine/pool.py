@@ -45,7 +45,7 @@ from ..config import ZonosConfig
 from ..models.zonos import ZonosModel
 from ..ops.attention import NEG_INF
 from ..ops.delay_pattern import revert_delay_pattern
-from ..ops.rope import rope_table
+from ..ops.rope import expand_rope_table, rope_table
 from ..ops.sampling import SamplingParams, sample_from_logits
 from .generate import _find_multiple, _masked_scatter_frame, prefill_jit
 
@@ -336,7 +336,7 @@ def pool_steps_jit(
     flush at the end splices every row's window back into the time-minor
     cache (the per-step strided splice this replaces cost ~1.4 ms/step at
     16 rows). ``n_steps`` must not exceed the ring depth."""
-    rope = rope_table(model.config.backbone.head_dim)
+    rope = expand_rope_table(rope_table(model.config.backbone.head_dim))
     ring = "k_stage" in pool["cache"]
     if ring:
         stage_depth = pool["cache"]["k_stage"].shape[2]

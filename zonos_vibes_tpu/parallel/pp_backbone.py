@@ -51,7 +51,7 @@ from ..models.backbone import (
 )
 from ..models.zonos import ZonosModel
 from ..ops.norms import layer_norm
-from ..ops.rope import rope_table
+from ..ops.rope import expand_rope_table, rope_table
 from .sharding import DATA, PIPE, _proj_spec
 
 
@@ -171,7 +171,7 @@ class PipelinedTransformerBackbone:
                 stage_base=None, pooled=False):
         cfg = self.cfg
         if rope is None:
-            rope = rope_table(cfg.head_dim)
+            rope = expand_rope_table(rope_table(cfg.head_dim))
         staged = stage_base is not None
         sb = stage_base if staged else jnp.int32(0)
         layer_specs = jax.tree.map(lambda _: P(PIPE), params["layers"])

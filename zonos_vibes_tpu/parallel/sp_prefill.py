@@ -29,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import BackboneConfig
 from ..ops.norms import layer_norm
 from ..ops.mlp import swiglu
-from ..ops.rope import apply_rope, rope_table
+from ..ops.rope import apply_rope, expand_rope_table, rope_table
 from .ring_attention import ring_attention_prefill, ulysses_prefill
 
 
@@ -50,7 +50,7 @@ def sp_prefill_forward(
     B, S, D = hidden.shape
     Hq, Hkv, Dh = cfg.num_heads, cfg.num_heads_kv, cfg.head_dim
     if rope is None:
-        rope = rope_table(cfg.head_dim)
+        rope = expand_rope_table(rope_table(cfg.head_dim))
     attn = {"ring": ring_attention_prefill, "ulysses": ulysses_prefill}[method]
     seq_spec = NamedSharding(mesh, P(None, axis_name, None))
 

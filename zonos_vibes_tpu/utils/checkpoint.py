@@ -119,11 +119,17 @@ def convert_zonos_state_dict(
     def stack_lin(fmt):
         return np.stack([_t(sd[fmt.format(i=i)]).T for i in range(L)])
 
+    # Stacked norm vectors load as fp32 (layer_norm computes in fp32; bf16
+    # storage costs a per-layer slice+convert in the decode loop — see
+    # models/backbone.py init note). Exact: bf16 -> fp32 widening.
+    def cast32(x):
+        return jnp.asarray(x, jnp.float32)
+
     backbone = {
         "layers": {
             "norm1": {
-                "weight": cast(stack("backbone.layers.{i}.norm.weight")),
-                "bias": cast(stack("backbone.layers.{i}.norm.bias")),
+                "weight": cast32(stack("backbone.layers.{i}.norm.weight")),
+                "bias": cast32(stack("backbone.layers.{i}.norm.bias")),
             },
             "in_proj": {
                 "weight": cast(stack_lin("backbone.layers.{i}.mixer.in_proj.weight"))
@@ -132,8 +138,8 @@ def convert_zonos_state_dict(
                 "weight": cast(stack_lin("backbone.layers.{i}.mixer.out_proj.weight"))
             },
             "norm2": {
-                "weight": cast(stack("backbone.layers.{i}.norm2.weight")),
-                "bias": cast(stack("backbone.layers.{i}.norm2.bias")),
+                "weight": cast32(stack("backbone.layers.{i}.norm2.weight")),
+                "bias": cast32(stack("backbone.layers.{i}.norm2.bias")),
             },
             "fc1": {
                 "weight": cast(stack_lin("backbone.layers.{i}.mlp.fc1.weight"))
