@@ -153,11 +153,45 @@ def test_ssd_vs_independent_fp64_oracle():
                                rtol=2e-3, atol=2e-3)
 
 
+def test_ssd_step_t_matches_ssd_step():
+    """The lane-transposed recurrent step (the STORAGE-layout decode path)
+    matches the canonical [B, H, P, N] step, grouped B/C included."""
+    from zonos_vibes_tpu.ops.mamba import (
+        ssd_step_t, state_from_lanes, state_to_lanes,
+    )
+
+    x, dt, A, Bm, Cm, D = _inputs(B=2, L=5, H=4, P=8, G=2, N=16, seed=7)
+    B_, _, H_, P_ = x.shape
+    rng = np.random.default_rng(8)
+    h = jnp.asarray(
+        rng.standard_normal((B_, H_, P_, Bm.shape[-1])).astype(np.float32)
+    )
+    h_t = state_to_lanes(h)
+    np.testing.assert_array_equal(
+        np.asarray(state_from_lanes(h_t, H_)), np.asarray(h)
+    )
+    for t in range(x.shape[1]):
+        y_ref, h = ssd_step(h, x[:, t], dt[:, t], A, Bm[:, t], Cm[:, t], D)
+        y_t, h_t = ssd_step_t(
+            h_t, x[:, t].reshape(B_, H_ * P_), dt[:, t], A,
+            Bm[:, t], Cm[:, t], D, H_,
+        )
+        np.testing.assert_allclose(
+            np.asarray(y_t), np.asarray(y_ref.reshape(B_, H_ * P_)),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(state_from_lanes(h_t, H_)), np.asarray(h),
+            rtol=1e-5, atol=1e-5,
+        )
+
+
 def test_fused_ssd_gate_step_kernel_matches_chain():
     """The fused Pallas decode core (state update + C·h readout + D skip +
-    silu gate + gated RMSNorm) matches the XLA op chain it replaces
-    (ssd_step + y*silu(z) + rms_norm) bit-for-bit in fp32 (interpret mode;
-    ngroups=1, the flagship layout)."""
+    silu gate + gated RMSNorm, lane-transposed layout) matches the XLA op
+    chain it replaces (ssd_step_t + y*silu(z) + rms_norm) in fp32
+    (interpret mode; ngroups=1, the flagship layout)."""
+    from zonos_vibes_tpu.ops.mamba import _head_to_lanes, ssd_step_t
     from zonos_vibes_tpu.ops.norms import rms_norm
     from zonos_vibes_tpu.ops.pallas.mamba_step import ssd_gate_step_pallas
 
@@ -165,8 +199,8 @@ def test_fused_ssd_gate_step_kernel_matches_chain():
     HP = H * P
     rng = np.random.default_rng(11)
     f32 = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))  # noqa: E731
-    state = f32(B, H, P, N)
-    xs = f32(B, H, P)
+    state_t = f32(B, N, HP)
+    xs = f32(B, HP)
     dt = jnp.asarray(
         np.log1p(np.exp(rng.standard_normal((B, H)))).astype(np.float32)
     )
@@ -177,20 +211,21 @@ def test_fused_ssd_gate_step_kernel_matches_chain():
     w = f32(HP) * 0.1 + 1.0
     eps = 1e-5
 
-    y_ref, ns_ref = ssd_step(state, xs, dt, A, Bm, Cm, D)
-    g_ref = rms_norm(y_ref.reshape(B, HP) * jax.nn.silu(z), w, eps)
+    y_ref, ns_ref = ssd_step_t(state_t, xs, dt, A, Bm, Cm, D, H)
+    g_ref = rms_norm(y_ref * jax.nn.silu(z), w, eps)
 
-    decay = jnp.exp(dt * A[None, :])
-    sc = lambda a: a[..., None, None]  # [B,H] -> [B,H,1,1]  # noqa: E731
+    dt_l = _head_to_lanes(dt, P)[:, None, :]
+    decay_l = _head_to_lanes(jnp.exp(dt * A[None, :]), P)[:, None, :]
+    d_l = jnp.broadcast_to(D[:, None], (H, P)).reshape(1, HP)
     y_k, ns_k = ssd_gate_step_pallas(
-        state, xs[..., None], sc(dt), sc(decay),
-        Bm[:, :, None, :], Cm[:, :, None, :], sc(D[None].repeat(B, 0)),
-        z.reshape(B, H, P, 1), w.reshape(H, P, 1),
+        state_t, xs[:, None, :], dt_l, decay_l,
+        Bm[:, 0, :, None], Cm[:, 0, :, None], z[:, None, :],
+        d_l, w.reshape(1, HP),
         eps=eps, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(ns_k), np.asarray(ns_ref),
                                rtol=1e-6, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(y_k.reshape(B, HP)),
+    np.testing.assert_allclose(np.asarray(y_k[:, 0]),
                                np.asarray(g_ref), rtol=1e-5, atol=1e-5)
 
 
@@ -201,19 +236,20 @@ def test_fused_ssd_gate_step_kernel_bf16_state():
     from zonos_vibes_tpu.ops.pallas.mamba_step import ssd_gate_step_pallas
 
     B, H, P, N = 2, 4, 8, 16
+    HP = H * P
     rng = np.random.default_rng(5)
     f32 = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))  # noqa: E731
-    state = f32(B, H, P, N).astype(jnp.bfloat16)
-    xs, z = f32(B, H, P, 1), f32(B, H, P, 1)
-    dt = jnp.abs(f32(B, H, 1, 1)) + 0.1
+    state_t = f32(B, N, HP).astype(jnp.bfloat16)
+    xs, z = f32(B, 1, HP), f32(B, 1, HP)
+    dt = jnp.abs(f32(B, 1, HP)) + 0.1
     decay = jnp.exp(-dt)
-    Bm, Cm = f32(B, 1, 1, N), f32(B, 1, 1, N)
-    D, w = f32(B, H, 1, 1), f32(H, P, 1)
+    Bm, Cm = f32(B, N, 1), f32(B, N, 1)
+    D, w = f32(1, HP), f32(1, HP)
 
-    y, ns = ssd_gate_step_pallas(state, xs, dt, decay, Bm, Cm, D, z, w,
+    y, ns = ssd_gate_step_pallas(state_t, xs, dt, decay, Bm, Cm, z, D, w,
                                  interpret=True)
     assert ns.dtype == jnp.bfloat16
-    exact = state.astype(jnp.float32) * decay + (dt * xs) * Bm
+    exact = state_t.astype(jnp.float32) * decay + Bm * (dt * xs)
     np.testing.assert_array_equal(
         np.asarray(ns), np.asarray(exact.astype(jnp.bfloat16))
     )

@@ -1,5 +1,6 @@
-"""Probe: fused Mamba decode-step core (ops/pallas/mamba_step.py) vs the
-XLA op chain (ssd_step + gate + rms_norm) at flagship shapes.
+"""Probe: fused Mamba decode-step core (ops/pallas/mamba_step.py, lane-
+transposed [B, N, H*P] state) vs the XLA op chain (ssd_step_t + gate +
+rms_norm) at flagship shapes.
 
 Usage: python tools/probe_mamba_step_kernel.py [batch] [f32|bf16] [reps]
 Prints JSON lines (compile + per-call timings + numeric agreement).
@@ -9,9 +10,8 @@ import sys, time
 sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from zonos_vibes_tpu.ops.mamba import ssd_step
+from zonos_vibes_tpu.ops.mamba import _head_to_lanes, ssd_step_t
 from zonos_vibes_tpu.ops.norms import rms_norm
 from zonos_vibes_tpu.ops.pallas.mamba_step import ssd_gate_step_pallas
 
@@ -23,8 +23,8 @@ HP = H * P
 key = jax.random.key(0)
 ks = jax.random.split(key, 8)
 
-state = (jax.random.normal(ks[0], (B, H, P, N), jnp.float32) * 0.1).astype(sdtype)
-xs = jax.random.normal(ks[1], (B, H, P), jnp.bfloat16)
+state = (jax.random.normal(ks[0], (B, N, HP), jnp.float32) * 0.1).astype(sdtype)
+xs = jax.random.normal(ks[1], (B, HP), jnp.bfloat16)
 dt = jax.nn.softplus(jax.random.normal(ks[2], (B, H), jnp.float32))
 A = -jnp.exp(jax.random.normal(ks[3], (H,), jnp.float32))
 Bm = jax.random.normal(ks[4], (B, 1, N), jnp.float32) * 0.5
@@ -36,22 +36,22 @@ w = jnp.ones((HP,), jnp.bfloat16)
 
 @jax.jit
 def chain(state, xs, dt, z):
-    y, ns = ssd_step(state.astype(jnp.float32), xs, dt, A, Bm, Cm, D)
-    g = rms_norm(y.reshape(B, HP) * jax.nn.silu(z.astype(jnp.float32)), w)
+    y, ns = ssd_step_t(state, xs, dt, A, Bm, Cm, D, H)
+    g = rms_norm(y.astype(jnp.float32) * jax.nn.silu(z.astype(jnp.float32)), w)
     return g.astype(jnp.bfloat16), ns.astype(state.dtype)
 
 
 @jax.jit
 def fused(state, xs, dt, z):
-    decay = jnp.exp(dt * A[None, :])
-    sc = lambda a: a[..., None, None]  # noqa: E731
+    dt_l = _head_to_lanes(dt, P)[:, None, :]
+    decay_l = _head_to_lanes(jnp.exp(dt * A[None, :]), P)[:, None, :]
+    d_l = jnp.broadcast_to(D[:, None], (H, P)).reshape(1, HP)
     y, ns = ssd_gate_step_pallas(
-        state, xs[..., None], sc(dt), sc(decay),
-        Bm[:, :, None, :], Cm[:, :, None, :],
-        sc(jnp.broadcast_to(D[None], (B, H))),
-        z.reshape(B, H, P, 1), w.reshape(H, P, 1).astype(jnp.bfloat16),
+        state, xs[:, None, :], dt_l, decay_l,
+        Bm[:, 0, :, None], Cm[:, 0, :, None], z[:, None, :],
+        d_l, w.reshape(1, HP),
     )
-    return y.reshape(B, HP), ns
+    return y[:, 0], ns
 
 
 def bench(name, fn):

@@ -45,7 +45,11 @@ from ..models.zonos import ZonosModel
 from ..ops.attention import NEG_INF
 from ..ops.delay_pattern import apply_delay_pattern, revert_delay_pattern
 from ..ops.rope import expand_rope_table, rope_table
-from ..ops.sampling import SamplingParams, sample_from_logits
+from ..ops.sampling import (
+    SamplingParams,
+    sample_from_logits,
+    sample_from_logits_dyn,
+)
 
 UNKNOWN_TOKEN = -1
 
@@ -95,6 +99,7 @@ def _prefill_state(
     disable_eos: bool = False,
     kv_int8: bool = False,
     state_bf16: bool = False,
+    knobs: dict | None = None,
 ) -> dict:
     """Build caches, apply the delay pattern, run prefill, sample the first
     frame (model.py:241-264). Returns the decode-loop state pytree.
@@ -104,7 +109,12 @@ def _prefill_state(
     sampled unbiased here too (parity). ``disable_eos=True`` is our
     extension promising NO EOS anywhere — that contract must also hold for
     the first frame, so the all-codebook bias applies to the prefill
-    logits."""
+    logits.
+
+    ``knobs`` (pool joins): TRACED sampling/cfg knobs
+    (ops/sampling.knobs_from_params) replace the static ``cfg_scale`` /
+    ``sampling`` — one compiled prefill per geometry regardless of knob
+    values, bit-identical outputs."""
     cfg: ZonosConfig = model.config
     K = cfg.num_codebooks
     mask_tok = cfg.masked_token_id
@@ -140,14 +150,21 @@ def _prefill_state(
         [prefix_conditioning.astype(emb.dtype), emb], axis=1
     )
     lengths0 = jnp.zeros((two_b,), jnp.int32)
+    cfg_eff = (
+        jnp.broadcast_to(knobs["cfg_scale"], (batch,))
+        if knobs is not None else cfg_scale
+    )
     logits, cache = model.compute_logits(
-        params, hidden, cache, jnp.int32(0), lengths0, cfg_scale, rope
+        params, hidden, cache, jnp.int32(0), lengths0, cfg_eff, rope
     )
 
     if disable_eos:
         logits = logits.at[:, :, cfg.eos_token_id].set(NEG_INF)
     key, k0 = jax.random.split(key)
-    next_token = sample_from_logits(k0, logits, sampling)  # [B, K]
+    if knobs is not None:
+        next_token = sample_from_logits_dyn(k0, logits, knobs)  # [B, K]
+    else:
+        next_token = sample_from_logits(k0, logits, sampling)  # [B, K]
 
     offset0 = lp + 1
     frame = delayed[..., offset0]
@@ -380,6 +397,28 @@ def prefill_jit(
         model, params, prefix_conditioning, audio_prefix_codes, key,
         prefix_audio_len, max_new_tokens, cfg_scale, sampling, disable_eos,
         kv_int8=kv_int8, state_bf16=state_bf16,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "prefix_audio_len", "max_new_tokens",
+                     "kv_int8", "state_bf16"),
+)
+def prefill_dyn_jit(
+    model, params, prefix_conditioning, audio_prefix_codes, key,
+    prefix_audio_len, max_new_tokens, knobs,
+    kv_int8: bool = False,
+    state_bf16: bool = False,
+):
+    """Prefill with TRACED sampling/cfg knobs (pool joins): one compiled
+    program per geometry, any knob values — a client moving a slider never
+    triggers a prefill recompile. Bit-identical to :func:`prefill_jit` with
+    the equivalent static params (ops/sampling.sample_from_logits_dyn)."""
+    return _prefill_state(
+        model, params, prefix_conditioning, audio_prefix_codes, key,
+        prefix_audio_len, max_new_tokens, 0.0, None, False,
+        kv_int8=kv_int8, state_bf16=state_bf16, knobs=knobs,
     )
 
 

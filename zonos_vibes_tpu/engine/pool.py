@@ -92,7 +92,7 @@ def make_pool(model: ZonosModel, pc: PoolConfig, dtype=jnp.bfloat16,
     K = model.config.num_codebooks
     T = _pool_cache_len(model, pc)
     cache = model.allocate_cache(2 * pc.slots, T, dtype, kv_int8=kv_int8,
-                                 state_bf16=state_bf16)
+                                 state_bf16=state_bf16, pool_ring=True)
     if "k" in cache:
         keys = ("k", "v", "k_stage", "v_stage") + (
             ("k_scale", "v_scale") if kv_int8 else ()
@@ -113,6 +113,21 @@ def make_pool(model: ZonosModel, pc: PoolConfig, dtype=jnp.bfloat16,
         # Ring mode: per-slot flushed watermark (ring covers [base, pos)).
         "flush_base": jnp.zeros((S,), jnp.int32),
     }
+
+
+def _pool_ring_mode(cache: dict) -> bool:
+    """True when the pool cache carries ring stages (transformer: the flat
+    cache's stage; hybrid: per-attn-layer stages from ``pool_ring``)."""
+    if "k_stage" in cache:
+        return True
+    attn = cache.get("attn")
+    return bool(attn) and all("k_stage" in kv for kv in attn.values())
+
+
+def _ring_stage_depth(cache: dict) -> int:
+    if "k_stage" in cache:
+        return cache["k_stage"].shape[2]
+    return next(iter(cache["attn"].values()))["k_stage"].shape[1]
 
 
 def prefill_request(
@@ -173,10 +188,13 @@ def _splice_cache_rows(pool_cache: dict, req_cache: dict, slot: int,
                for kk in keys},
         }
     return {
+        # Hybrid attn entries may carry ring stages (k_stage/v_stage) —
+        # NOT spliced (join resets the row's watermark to pos), preserved.
         "attn": {
             name: {
-                kk: row_splice(kv[kk], req_cache["attn"][name][kk], 0)
-                for kk in ("k", "v")
+                **kv,
+                **{kk: row_splice(kv[kk], req_cache["attn"][name][kk], 0)
+                   for kk in ("k", "v")},
             }
             for name, kv in pool_cache["attn"].items()
         },
@@ -244,7 +262,7 @@ def _pool_body(model: ZonosModel, params: dict, pool: dict, base_key,
     emb = jnp.concatenate([emb, emb], axis=0)  # CFG rows [cond..., uncond...]
     lengths = jnp.concatenate([pool["pos"], pool["pos"]])  # [2S] per-row
     kw = {}
-    if "k_stage" in pool["cache"]:  # transformer: ring mode
+    if _pool_ring_mode(pool["cache"]):  # ring mode (transformer or hybrid)
         kw["pool_base"] = jnp.concatenate(
             [pool["flush_base"], pool["flush_base"]]
         )
@@ -337,9 +355,9 @@ def pool_steps_jit(
     cache (the per-step strided splice this replaces cost ~1.4 ms/step at
     16 rows). ``n_steps`` must not exceed the ring depth."""
     rope = expand_rope_table(rope_table(model.config.backbone.head_dim))
-    ring = "k_stage" in pool["cache"]
+    ring = _pool_ring_mode(pool["cache"])
     if ring:
-        stage_depth = pool["cache"]["k_stage"].shape[2]
+        stage_depth = _ring_stage_depth(pool["cache"])
         assert n_steps <= stage_depth, (
             f"segment of {n_steps} steps overflows the {stage_depth}-deep "
             f"ring stage"
@@ -370,9 +388,34 @@ def flush_pool_rings(pool: dict) -> dict:
     NEXT segment's flush (whose window starts at the new base == pos)
     overwrites them before they are ever valid."""
     cache = pool["cache"]
+    base2 = jnp.concatenate([pool["flush_base"], pool["flush_base"]])
+    zero0 = jnp.zeros((), jnp.int32)
+    if "attn" in cache:
+        # Hybrid pool: per-attn-layer ring stages [B2, STAGE, Hkv*Dh] ->
+        # per-row time-minor splices, once per segment.
+        new_attn = {}
+        for name, kv in cache["attn"].items():
+            B2, Hkv, Dh, _ = kv["k"].shape
+            STAGE = kv["k_stage"].shape[1]
+
+            def tm1(stage):  # [B,STAGE,Hkv*Dh] -> [B,Hkv,Dh,STAGE]
+                return stage.reshape(B2, STAGE, Hkv, Dh).transpose(0, 2, 3, 1)
+
+            ks, vs = tm1(kv["k_stage"]), tm1(kv["v_stage"])
+            nk, nv = kv["k"], kv["v"]
+            for r in range(B2):
+                idx = (jnp.int32(r), zero0, zero0, base2[r])
+                nk = jax.lax.dynamic_update_slice(nk, ks[r : r + 1], idx)
+                nv = jax.lax.dynamic_update_slice(nv, vs[r : r + 1], idx)
+            new_attn[name] = {**kv, "k": nk, "v": nv}
+        return {
+            **pool,
+            "cache": {**cache, "attn": new_attn},
+            "flush_base": pool["pos"],
+        }
+
     L, B2, Hkv, Dh, _ = cache["k"].shape
     STAGE = cache["k_stage"].shape[2]
-    base2 = jnp.concatenate([pool["flush_base"], pool["flush_base"]])
 
     def tm(stage):  # [L,B,STAGE,Hkv*Dh] -> [L,B,Hkv,Dh,STAGE]
         return stage.reshape(L, B2, STAGE, Hkv, Dh).transpose(0, 1, 3, 4, 2)

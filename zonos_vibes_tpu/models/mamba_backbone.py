@@ -41,41 +41,41 @@ from ..config import BackboneConfig
 from ..ops.attention import (
     decode_attention_auto,
     decode_attention_pooled_auto,
+    decode_attention_pooled_staged_auto,
     prefill_attention_auto,
     update_kv_cache,
 )
 from ..ops.pallas.mamba_step import ssd_gate_step_pallas
 
-_PALLAS_MAMBA = os.environ.get("ZVT_PALLAS_MAMBA", "0")
+_PALLAS_MAMBA = os.environ.get("ZVT_PALLAS_MAMBA", "auto")
 
 
 def _fused_step_eligible(s) -> bool:
     """Fused decode-core kernel dispatch (ops/pallas/mamba_step.py).
 
-    DEFAULT OFF — measured SLOWER in-program: the pooled hybrid step went
-    11.48 -> 19.62 ms/step at 8 slots with the kernel on. The state update
-    and C·h readout are lane-efficient in the cache's native [B, H, P, N]
-    layout, but everything after the lane-reduction (D skip, silu gate,
-    gated RMSNorm) runs on [H, P, 1] data — 1 of 128 lanes — and that VPU
-    crawl dwarfs the fusion-gap savings. A winning version needs the state
-    stored lane-transposed ([B, N, H*P]: update broadcasts [1, HP] lane
-    vectors, readout is a SUBLANE reduction, gate/norm stay lane-parallel)
-    which is a cache-layout change (allocate/splice/prefill restack) — see
-    docs/KERNELS.md. Greedy codes match the XLA chain exactly on TPU when
-    enabled (ZVT_PALLAS_MAMBA=1; requires ngroups==1)."""
+    Default ON where eligible: the SSM state is stored LANE-TRANSPOSED
+    (``[B, N, H*P]``, ops/mamba.state_to_lanes) so the fused
+    update→readout→gate→norm chain runs full-VPU-width (the earlier
+    ``[B, H, P, N]``-native kernel was measured SLOWER — post-readout work
+    landed on 1 of 128 lanes; docs/KERNELS.md). ngroups == 1 only (the
+    flagship layout); other configs take the XLA chain (ssd_step_t) on the
+    same transposed state."""
     if _PALLAS_MAMBA == "0":
         return False
     ok = (
         s.ngroups == 1
-        and s.headdim % 8 == 0
+        and s.d_inner % 128 == 0
         and jax.default_backend() == "tpu"
     )
     return ok if _PALLAS_MAMBA == "auto" else True
 from ..ops.mamba import (
+    _head_to_lanes,
     causal_conv1d,
     causal_conv1d_step,
     ssd_chunked,
-    ssd_step,
+    ssd_step_t,
+    state_from_lanes,
+    state_to_lanes,
 )
 from ..ops.mlp import swiglu_p
 from ..ops.quant import proj_matmul
@@ -149,13 +149,25 @@ class HybridBackbone:
         """Static execution plan: ``("attn", i)`` for attention layers,
         ``("run", r, (i, ...))`` for maximal contiguous runs of MLP-less
         Mamba layers (homogeneous => scannable on the decode path; the
-        unrolled 48-layer stack cost ~2 ms/step of small-op overhead,
-        xprof-measured). Mamba layers WITH an MLP (d_intermediate > 0)
-        run solo as ``("solo", i)``."""
+        unrolled 48-layer stack cost ~2 ms/step of small-op overhead with
+        the XLA op chain, xprof-measured). Mamba layers WITH an MLP
+        (d_intermediate > 0) run solo as ``("solo", i)``.
+
+        ``ZVT_MAMBA_UNROLL`` (default 1) makes EVERY Mamba layer solo
+        (per-layer state buffers, static unroll): with the fused
+        decode-step kernel the scan's structural costs dominate — per
+        layer per step the ys stacking recopies the state the kernel
+        already wrote (~28 us), the stacked params cost a dynamic-slice
+        (~23 us), and the scan carries ~37 us of gap (xprof, 8-slot pool).
+        Unrolled per-layer buffers alias in place in the while carry:
+        measured 11.23 -> 7.04 ms/step at the 8-slot int8 pool (+59%
+        aggregate). ``=0`` restores the run-scanned layout (fewer live
+        buffers, slower step)."""
         if not hasattr(self, "_layout_cache"):
+            unroll = os.environ.get("ZVT_MAMBA_UNROLL", "1") == "1"
             elems, run, r = [], [], 0
             for i in range(self.cfg.n_layer):
-                if self._is_attn(i) or self.d_intermediate > 0:
+                if self._is_attn(i) or self.d_intermediate > 0 or unroll:
                     if run:
                         elems.append(("run", r, tuple(run)))
                         r, run = r + 1, []
@@ -226,7 +238,7 @@ class HybridBackbone:
     # -- cache --------------------------------------------------------------
 
     def allocate_cache(self, batch: int, max_seqlen: int, dtype=jnp.bfloat16,
-                       state_dtype=jnp.float32):
+                       state_dtype=jnp.float32, pool_ring: bool = False):
         """Cache pytree mirroring ``_layout``: attention KV per layer (keyed
         by layer index as str), Mamba conv/SSM states STACKED per run
         ``[R, ...]`` so the decode scan carries them without per-step
@@ -235,28 +247,52 @@ class HybridBackbone:
 
         ``state_dtype``: SSM-state STORAGE dtype. Default fp32 matches the
         reference's mamba-ssm state. ``jnp.bfloat16`` is the batched-serving
-        option: the recurrent update still computes in fp32 (ssd_step
-        upcasts on read) but the state crosses HBM at half width — at 16
-        pooled rows the fp32 state read+write is ~4.4 ms/step, the dominant
-        term of the hybrid pooled step (docs/KERNELS.md)."""
+        option: the recurrent update still computes in fp32 (upcast on read)
+        but the state crosses HBM at half width — at 16 pooled rows the
+        fp32 state read+write is ~4.4 ms/step, the dominant term of the
+        hybrid pooled step (docs/KERNELS.md).
+
+        SSM states are stored LANE-TRANSPOSED ``[B, d_state, d_inner]``
+        (ops/mamba.state_to_lanes): the decode step's per-head scalars
+        broadcast as lane vectors, the readout is a sublane reduction, and
+        the fused Pallas step (ops/pallas/mamba_step.py) consumes the
+        buffer with no reshape.
+
+        ``pool_ring``: continuous-batching pools only — each attention
+        layer gains a per-row time-major ring stage ``[B, STAGE, Hkv*Dh]``
+        so pooled decode steps never splice the time-minor cache per row
+        (the transformer pool's ring design, models/backbone.py KV_STAGE;
+        engine/pool.flush_pool_rings splices once per segment)."""
+        from .backbone import KV_STAGE
+
         s = self.ssm
+        stage = min(KV_STAGE, max_seqlen)
         attn, runs, solos = {}, [], {}
         for elem in self._layout:
             if elem[0] == "attn":
                 shape = (batch, self.num_heads_kv, self.head_dim, max_seqlen)
                 attn[str(elem[1])] = {"k": jnp.zeros(shape, dtype),
                                       "v": jnp.zeros(shape, dtype)}
+                if pool_ring:
+                    attn[str(elem[1])].update({
+                        "k_stage": jnp.zeros(
+                            (batch, stage, self.num_heads_kv * self.head_dim),
+                            dtype),
+                        "v_stage": jnp.zeros(
+                            (batch, stage, self.num_heads_kv * self.head_dim),
+                            dtype),
+                    })
             elif elem[0] == "solo":
                 solos[str(elem[1])] = {
                     "conv": jnp.zeros((batch, s.d_conv - 1, s.conv_dim), dtype),
-                    "ssm": jnp.zeros((batch, s.nheads, s.headdim, s.d_state),
+                    "ssm": jnp.zeros((batch, s.d_state, s.d_inner),
                                      state_dtype),
                 }
             else:
                 R = len(elem[2])
                 runs.append({
                     "conv": jnp.zeros((R, batch, s.d_conv - 1, s.conv_dim), dtype),
-                    "ssm": jnp.zeros((R, batch, s.nheads, s.headdim, s.d_state),
+                    "ssm": jnp.zeros((R, batch, s.d_state, s.d_inner),
                                      state_dtype),
                 })
         return {"attn": attn, "runs": runs, "solo": solos}
@@ -289,42 +325,43 @@ class HybridBackbone:
             xs, Bm, Cm = jnp.split(
                 xBC_t, [s.d_inner, s.d_inner + s.ngroups * s.d_state], axis=-1
             )
+            P = s.headdim
+            dt0 = dt[:, 0]  # [B, H] f32
             if _fused_step_eligible(s):
-                # Fused Pallas core: state update + C·h readout + D skip +
-                # silu(z) gate + gated RMSNorm in one kernel, state held in
-                # VMEM across the chain (ops/pallas/mamba_step.py). The
-                # state buffer is consumed in its native [B, H, P, N]
-                # layout — no reshape between buffer and pallas_call.
-                H, P = s.nheads, s.headdim
-                dt0 = dt[:, 0]                                  # [B, H] f32
-                decay = jnp.exp(dt0 * A[None, :])
-                sc = lambda a: a[..., None, None]  # noqa: E731
+                # Fused Pallas core on the lane-transposed [B, N, H*P]
+                # state: update + C·h readout + D skip + silu(z) gate +
+                # gated RMSNorm in one kernel, state held in VMEM across
+                # the chain (ops/pallas/mamba_step.py); the state buffer is
+                # consumed in its storage layout — no reshape between
+                # buffer and pallas_call. Everything in the chain is
+                # lane-parallel (the readout a sublane reduction).
+                dt_l = _head_to_lanes(dt0, P)[:, None, :]        # [B,1,HP]
+                decay_l = _head_to_lanes(jnp.exp(dt0 * A[None, :]), P)[:, None, :]
+                d_l = jnp.broadcast_to(
+                    lp["D"][:, None], (s.nheads, P)
+                ).reshape(1, s.d_inner)
                 y_g, ssm_state = ssd_gate_step_pallas(
                     cache["ssm"],
-                    xs.reshape(B, H, P)[..., None],
-                    sc(dt0), sc(decay),
-                    Bm.reshape(B, 1, 1, s.d_state),
-                    Cm.reshape(B, 1, 1, s.d_state),
-                    sc(jnp.broadcast_to(lp["D"][None], (B, H))),
-                    z[:, 0].reshape(B, H, P, 1),
-                    lp["ssm_norm"]["weight"].reshape(H, P, 1),
+                    xs[:, None, :], dt_l, decay_l,
+                    Bm.astype(jnp.float32)[:, :, None],
+                    Cm.astype(jnp.float32)[:, :, None],
+                    z,
+                    d_l,
+                    lp["ssm_norm"]["weight"].reshape(1, s.d_inner),
                     eps=self.cfg.norm_epsilon,
                 )
-                out = proj_matmul(y_g.reshape(B, 1, s.d_inner),
-                                  lp["out_proj"])
+                out = proj_matmul(y_g, lp["out_proj"])
                 return out, {"conv": conv_state, "ssm": ssm_state}
-            # State storage may be bf16 (pooled serving); the recurrence
-            # itself always runs fp32 — upcast on read, downcast on store.
-            y, ssm_state = ssd_step(
-                cache["ssm"].astype(jnp.float32),
-                xs.reshape(B, s.nheads, s.headdim),
-                dt[:, 0],
-                A,
+            # XLA chain in the same transposed layout. State storage may be
+            # bf16 (pooled serving); the recurrence itself always runs
+            # fp32 — upcast on read, downcast on store.
+            y, ssm_state = ssd_step_t(
+                cache["ssm"], xs, dt0, A,
                 Bm.reshape(B, s.ngroups, s.d_state),
                 Cm.reshape(B, s.ngroups, s.d_state),
-                lp["D"],
+                lp["D"], s.nheads,
             )
-            y = y.reshape(B, 1, s.d_inner)
+            y = y[:, None, :]
         else:
             xBC_c, conv_state = causal_conv1d(
                 xBC, lp["conv1d"]["weight"], lp["conv1d"]["bias"], cache["conv"]
@@ -333,6 +370,9 @@ class HybridBackbone:
             xs, Bm, Cm = jnp.split(
                 xBC_c, [s.d_inner, s.d_inner + s.ngroups * s.d_state], axis=-1
             )
+            # The chunked scan works in the MXU-friendly [B, H, P, N]
+            # convention; convert at the boundaries of the lane-transposed
+            # storage layout (once per prefill — cheap).
             y, ssm_state = ssd_chunked(
                 xs.reshape(B, S, s.nheads, s.headdim),
                 dt,
@@ -341,8 +381,11 @@ class HybridBackbone:
                 Cm.reshape(B, S, s.ngroups, s.d_state),
                 lp["D"],
                 chunk=s.chunk,
-                init_state=cache["ssm"],
+                init_state=state_from_lanes(
+                    cache["ssm"].astype(jnp.float32), s.nheads
+                ),
             )
+            ssm_state = state_to_lanes(ssm_state)
             y = y.reshape(B, S, s.d_inner)
 
         # Gated RMSNorm: rmsnorm(y * silu(z)) * weight (norm_before_gate=False)
@@ -353,7 +396,7 @@ class HybridBackbone:
                      "ssm": ssm_state.astype(cache["ssm"].dtype)}
 
     def _attn_mixer(self, lp, x, cache, offset, positions, is_decode: bool,
-                    row_pos=None):
+                    row_pos=None, ring_base=None):
         B, S, D = x.shape
         Hq, Hkv, Dh = self.num_heads, self.num_heads_kv, self.head_dim
         qkv = proj_matmul(x, lp["in_proj"])
@@ -363,10 +406,36 @@ class HybridBackbone:
         v = v.reshape(B, S, Hkv, Dh)
         q = apply_rope_half(q, positions, self.rotary_dim)
         k = apply_rope_half(k, positions, self.rotary_dim)
+        zero = jnp.zeros((), jnp.int32)
+        if row_pos is not None and ring_base is not None and "k_stage" in cache:
+            # Pooled RING decode: attention covers each row's flushed
+            # prefix [0, base) + ring window [base, pos) + current token;
+            # the fresh column lands in the row's time-major ring slot
+            # (pos - base) — the strided time-minor splice happens once per
+            # segment in engine/pool.flush_pool_rings. Same kernel as the
+            # transformer pool, L=1 view ([None] on a leading unit axis is
+            # a bitcast, not a copy).
+            cdtype = cache["k"].dtype
+            k_col = k.astype(cdtype).transpose(0, 2, 3, 1)  # [B,Hkv,Dh,1]
+            v_col = v.astype(cdtype).transpose(0, 2, 3, 1)
+            ring_len = row_pos - ring_base
+            y = decode_attention_pooled_staged_auto(
+                q, cache["k"][None], cache["v"][None],
+                cache["k_stage"][None], cache["v_stage"][None],
+                k_col, v_col, ring_base, ring_len, jnp.int32(0),
+            )
+            cols_k = k_col.transpose(0, 3, 1, 2).reshape(B, 1, Hkv * Dh)
+            cols_v = v_col.transpose(0, 3, 1, 2).reshape(B, 1, Hkv * Dh)
+            nks, nvs = cache["k_stage"], cache["v_stage"]
+            for b in range(B):
+                idx = (jnp.int32(b), ring_len[b], zero)
+                nks = jax.lax.dynamic_update_slice(nks, cols_k[b : b + 1], idx)
+                nvs = jax.lax.dynamic_update_slice(nvs, cols_v[b : b + 1], idx)
+            out = proj_matmul(y.reshape(B, S, Hq * Dh), lp["out_proj"])
+            return out, {**cache, "k_stage": nks, "v_stage": nvs}
         if row_pos is not None:
-            # Pooled decode: every row sits at its OWN cache position —
-            # per-row attention bounds (pooled kernel, L=1 view) and
-            # per-row column writes (engine/pool.py).
+            # Pooled decode without a ring stage (compat path): per-row
+            # attention bounds and per-row time-minor column writes.
             cdtype = cache["k"].dtype
             k_col = k.astype(cdtype).transpose(0, 2, 3, 1)  # [B,Hkv,Dh,1]
             v_col = v.astype(cdtype).transpose(0, 2, 3, 1)
@@ -374,21 +443,20 @@ class HybridBackbone:
                 q, cache["k"][None], cache["v"][None], k_col, v_col,
                 row_pos, jnp.int32(0),
             )
-            zero = jnp.zeros((), jnp.int32)
             nk, nv = cache["k"], cache["v"]
             for b in range(B):
                 idx = (jnp.int32(b), zero, zero, row_pos[b])
                 nk = jax.lax.dynamic_update_slice(nk, k_col[b : b + 1], idx)
                 nv = jax.lax.dynamic_update_slice(nv, v_col[b : b + 1], idx)
             out = proj_matmul(y.reshape(B, S, Hq * Dh), lp["out_proj"])
-            return out, {"k": nk, "v": nv}
+            return out, {**cache, "k": nk, "v": nv}
         k_cache, v_cache = update_kv_cache(cache["k"], cache["v"], k, v, offset)
         if is_decode:
             y = decode_attention_auto(q, k_cache, v_cache, offset + S)
         else:
             y = prefill_attention_auto(q, k_cache, v_cache, offset, S)
         out = proj_matmul(y.reshape(B, S, Hq * Dh), lp["out_proj"])
-        return out, {"k": k_cache, "v": v_cache}
+        return out, {**cache, "k": k_cache, "v": v_cache}
 
     # -- forward ------------------------------------------------------------
 
@@ -401,11 +469,15 @@ class HybridBackbone:
         lengths_per_sample: jnp.ndarray,
         rope=None,  # unused (per-layer rotary); kept for interface parity
         pooled: bool = False,
+        pool_base=None,
     ):
         """``pooled``: continuous-batching decode — every row at its OWN
         cache position (``lengths_per_sample``). Mamba conv/SSM recurrent
         state is position-independent, so only the attention layers need
-        per-row bounds and writes; the SSM stream is already per-row."""
+        per-row bounds and writes; the SSM stream is already per-row.
+        ``pool_base``: pooled RING mode — [B] per-row flushed watermarks
+        (requires a ``pool_ring`` cache); fresh attention columns land in
+        per-row ring slots, spliced once per segment by the caller."""
         cfg = self.cfg
         B, S, D = hidden.shape
         positions = (
@@ -416,6 +488,10 @@ class HybridBackbone:
         row_pos = (
             lengths_per_sample.astype(jnp.int32)
             if (pooled and is_decode) else None
+        )
+        ring_base = (
+            jnp.asarray(pool_base, jnp.int32)
+            if (pool_base is not None and row_pos is not None) else None
         )
         rdtype = jnp.float32 if cfg.residual_in_fp32 else hidden.dtype
         residual = jnp.zeros_like(hidden, rdtype)  # x + 0 == x
@@ -434,7 +510,7 @@ class HybridBackbone:
                 normed, residual = layer_prologue(lp, hidden, residual)
                 hidden, c = self._attn_mixer(
                     lp, normed, cache["attn"][str(i)], offset, positions,
-                    is_decode, row_pos=row_pos,
+                    is_decode, row_pos=row_pos, ring_base=ring_base,
                 )
                 if "fc1" in lp:
                     residual = hidden.astype(rdtype) + residual

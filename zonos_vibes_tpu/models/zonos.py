@@ -154,7 +154,13 @@ class ZonosModel:
         )
         last = out[:, -1:, :]
         logits = self.apply_heads(params, last)[:, :, 0, :]  # [2B, K, V]
-        if cfg_scale != 1.0:
+        if not isinstance(cfg_scale, (int, float)):
+            # Per-row runtime CFG (continuous-batching pools): [B] scales.
+            # A row at scale exactly 1.0 reduces to its cond logits.
+            cond, uncond = jnp.split(logits, 2, axis=0)
+            scale = jnp.asarray(cfg_scale, jnp.float32)[:, None, None]
+            logits = uncond + (cond - uncond) * scale
+        elif cfg_scale != 1.0:
             cond, uncond = jnp.split(logits, 2, axis=0)
             logits = uncond + (cond - uncond) * cfg_scale
         # Mask MASK token + pad slots (everything >= 1025).
@@ -166,20 +172,22 @@ class ZonosModel:
 
     def allocate_cache(self, batch_size: int, max_seqlen: int,
                        dtype=jnp.bfloat16, kv_int8: bool = False,
-                       state_bf16: bool = False):
+                       state_bf16: bool = False, pool_ring: bool = False):
+        kw = {}
         if kv_int8:
             # Transformer-only (int8 phase 2): loud TypeError on backbones
             # without the quantized-cache path.
-            return self.backbone.allocate_cache(
-                batch_size, max_seqlen, dtype, kv_int8=True
-            )
+            kw["kv_int8"] = True
         if state_bf16:
             # Hybrid-only: bf16 SSM-state storage (fp32 compute) for pooled
             # serving; loud TypeError on backbones without SSM state.
-            return self.backbone.allocate_cache(
-                batch_size, max_seqlen, dtype, state_dtype=jnp.bfloat16
-            )
-        return self.backbone.allocate_cache(batch_size, max_seqlen, dtype)
+            kw["state_dtype"] = jnp.bfloat16
+        if pool_ring and self.config.backbone.is_hybrid:
+            # Hybrid pools: per-attn-layer ring stages (the transformer
+            # cache always carries its stage).
+            kw["pool_ring"] = True
+        return self.backbone.allocate_cache(batch_size, max_seqlen, dtype,
+                                            **kw)
 
     # -- conditioning -------------------------------------------------------
 

@@ -9,9 +9,12 @@ selective-scan + ``causal-conv1d``, SURVEY.md §2.9 N2/N3; used via
   is split into chunks; intra-chunk work is dense attention-like einsums that
   map onto the MXU, and inter-chunk state is carried by a ``lax.scan`` —
   O(L·N) memory instead of materializing the full recurrent state history.
-* **Decode** is the exact recurrence, one token per call, on a persistent
-  ``[B, H, P, N]`` state (the TPU analogue of mamba-ssm's
-  ``selective_state_update``).
+* **Decode** is the exact recurrence, one token per call (the TPU analogue
+  of mamba-ssm's ``selective_state_update``). The persistent state is
+  STORED lane-transposed ``[B, N, H*P]`` (:func:`state_to_lanes`) so the
+  per-step math is VPU-lane-parallel; :func:`ssd_step_t` is the XLA form,
+  ``ops/pallas/mamba_step.py`` the fused kernel. :func:`ssd_step` keeps
+  the canonical ``[B, H, P, N]`` convention for tests/oracles.
 * **Causal conv** keeps a rolling ``[B, d_conv-1, C]`` buffer for decode.
 
 Recurrence (per head h, with A < 0):
@@ -149,6 +152,81 @@ def ssd_step(
     y = jnp.einsum("bhn,bhpn->bhp", Ch, new_state)
     y = y + xf * D.astype(jnp.float32)[None, :, None]
     return y.astype(x.dtype), new_state
+
+
+def state_to_lanes(h: jnp.ndarray) -> jnp.ndarray:
+    """``[B, H, P, N] -> [B, N, H*P]`` — the lane-transposed STORAGE layout.
+
+    Decode-step math in this layout is VPU-shaped: per-head scalars
+    (decay, dt, D) broadcast as ``[1, H*P]`` lane vectors, B/C become
+    sublane vectors ``[N, 1]``, the readout is a SUBLANE reduction whose
+    result lands as a ``[1, H*P]`` lane vector, and the downstream
+    silu-gate + gated RMSNorm stay fully lane-parallel (the native
+    ``[B, H, P, N]`` layout left all post-readout work on 1 of 128 lanes —
+    measured 11.5 -> 19.6 ms/step regression, docs/KERNELS.md)."""
+    B, H, P, N = h.shape
+    return h.transpose(0, 3, 1, 2).reshape(B, N, H * P)
+
+
+def state_from_lanes(st: jnp.ndarray, nheads: int) -> jnp.ndarray:
+    """``[B, N, H*P] -> [B, H, P, N]`` (inverse of :func:`state_to_lanes`)."""
+    B, N, HP = st.shape
+    P = HP // nheads
+    return st.reshape(B, N, nheads, P).transpose(0, 2, 3, 1)
+
+
+def _head_to_lanes(a: jnp.ndarray, P: int) -> jnp.ndarray:
+    """Per-head ``[B, H] -> [B, H*P]`` (each head's value repeated over its
+    P contiguous lanes; head-major flattening matches ``x.reshape(B, H*P)``)."""
+    B, H = a.shape
+    return jnp.broadcast_to(a[:, :, None], (B, H, P)).reshape(B, H * P)
+
+
+def _group_to_lanes(a: jnp.ndarray, HP: int) -> jnp.ndarray:
+    """Per-group ``[B, G] -> [B, H*P]`` (contiguous lane block per group —
+    heads are grouped contiguously, matching :func:`_group_expand`)."""
+    B, G = a.shape
+    rep = HP // G
+    return jnp.broadcast_to(a[:, :, None], (B, G, rep)).reshape(B, HP)
+
+
+def ssd_step_t(
+    state_t: jnp.ndarray,  # [B, N, H*P] (any float dtype; compute fp32)
+    xs: jnp.ndarray,  # [B, H*P] head-major flat
+    dt: jnp.ndarray,  # [B, H]
+    A: jnp.ndarray,  # [H]
+    Bm: jnp.ndarray,  # [B, G, N]
+    Cm: jnp.ndarray,  # [B, G, N]
+    D: jnp.ndarray,  # [H]
+    nheads: int,
+):
+    """One recurrent decode step in the lane-transposed state layout
+    (:func:`state_to_lanes`). Same math as :func:`ssd_step`, laid out so
+    every elementwise op is lane-parallel. Returns ``(y [B, H*P],
+    new_state_t [B, N, H*P] fp32)``."""
+    B, N, HP = state_t.shape
+    H, P, G = nheads, HP // nheads, Bm.shape[1]
+    xf = xs.astype(jnp.float32)
+    dtf = dt.astype(jnp.float32)
+    decay = _head_to_lanes(jnp.exp(dtf * A.astype(jnp.float32)[None, :]), P)
+    dtxs = _head_to_lanes(dtf, P) * xf  # [B, HP]
+
+    def bc_lanes(bc):  # [B, G, N] -> [B, N, HP]-broadcastable [B, N, G*rep]
+        bcT = bc.astype(jnp.float32).transpose(0, 2, 1)  # [B, N, G]
+        rep = HP // G
+        return jnp.broadcast_to(
+            bcT[:, :, :, None], (B, N, G, rep)
+        ).reshape(B, N, HP)
+
+    new_state = (
+        state_t.astype(jnp.float32) * decay[:, None, :]
+        + bc_lanes(Bm) * dtxs[:, None, :]
+    )
+    y = jnp.sum(bc_lanes(Cm) * new_state, axis=1)  # [B, HP]
+    y = y + _head_to_lanes(
+        jnp.broadcast_to(D.astype(jnp.float32)[None], (B, H)), P
+    ) * xf
+    return y.astype(xs.dtype), new_state
 
 
 def ssd_naive(x, dt, A, Bm, Cm, D, init_state=None):

@@ -1,28 +1,40 @@
 """Fused Mamba-2 decode-step core: SSM state update + C·h readout + D skip
-+ silu(z) gate + gated RMSNorm in ONE Pallas kernel.
++ silu(z) gate + gated RMSNorm in ONE Pallas kernel, on the LANE-TRANSPOSED
+state layout ``[B, N, H*P]``.
 
 Reference behavior: the recurrent half of mamba-ssm's selective-state
 update plus Mamba2's ``norm_before_gate=False`` gated RMSNorm
 (/root/reference/zonos/backbone/_mamba_ssm.py:9-57 delegates all of it to
-the mamba_ssm CUDA package; the JAX spec is ops/mamba.ssd_step +
+the mamba_ssm CUDA package; the JAX spec is ops/mamba.ssd_step_t +
 ops/norms.rms_norm as used by models/mamba_backbone._mamba_mixer).
 
 Why a kernel: xprof of the hybrid pooled step (docs/KERNELS.md) shows the
-XLA lowering splits this chain into two big fusions (~72 us/layer at 16
-rows, bf16 state) plus ~47 us/layer of small-op gap time between the
-conv/gate/state ops — the step is LATENCY-bound, not HBM-bound. Fusing the
-chain keeps the state in VMEM across update→readout→gate→norm and removes
-the inter-op gaps; the only HBM traffic left is one state read + one state
-write + the small vectors.
+XLA lowering splits this chain into two big fusions plus ~47 us/layer of
+small-op gap time — the step is LATENCY-bound. Fusing the chain keeps the
+state in VMEM across update→readout→gate→norm and removes the inter-op
+gaps; the only HBM traffic left is one state read + one state write + the
+small vectors.
 
-Layout: blocks keep the cache's native ``[B, H, P, N]`` shape (no reshape
-between the state buffer and the pallas_call — a reshape there can
-materialize a full copy per call, CLAUDE.md). Work shape per batch row is
-``[H, P, N]``: d_state N on lanes (=array dim, legal at any N), headdim P
-on sublanes (multiple of 8 at real configs). Per-head scalars arrive
-``[B, H, 1, 1]`` and broadcast in-kernel — no transposes or lane-crossing
-relayouts. ngroups == 1 only (the flagship layout); the caller falls back
-to the XLA chain otherwise.
+Why THIS layout (attempt 1 post-mortem, docs/KERNELS.md): in the old
+``[B, H, P, N]`` layout the readout's lane-axis reduction left everything
+downstream on ``[H, P, 1]`` — one of 128 lanes — and the gate/norm VPU
+crawl made the fused step SLOWER (11.5 → 19.6 ms at 8 slots). Transposed:
+
+* the state block is ``[N, H*P]`` — d_state N on sublanes, the flat
+  d_inner axis on lanes;
+* decay / dt / D / xs / z are ``[1, H*P]`` LANE vectors (per-head values
+  pre-expanded over each head's P contiguous lanes by the caller);
+* B/C are ``[N, 1]`` SUBLANE vectors (ngroups == 1 — the flagship layout;
+  the caller falls back to the XLA chain otherwise);
+* the update broadcasts lane×sublane — full-width VPU;
+* the readout is a SUBLANE reduction landing ``y`` as a ``[1, H*P]`` lane
+  vector, so D-skip, silu gate and the gated RMSNorm (a full lane
+  reduction + lane-parallel scale) stay full-width.
+
+Blocks keep the state buffer's native shape (no reshape between the cache
+and the pallas_call — a reshape there can materialize a full copy per
+call, CLAUDE.md); every block dim equals its array dim, which Mosaic
+accepts at any size.
 """
 
 from __future__ import annotations
@@ -36,80 +48,80 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(
-    state_ref,  # VMEM [1, H, P, N] storage dtype
-    xs_ref,     # VMEM [1, H, P, 1]
-    dt_ref,     # VMEM [1, H, 1, 1] f32 (softplus(dt + bias))
-    decay_ref,  # VMEM [1, H, 1, 1] f32 (exp(dt * A))
-    bm_ref,     # VMEM [1, 1, 1, N]
-    cm_ref,     # VMEM [1, 1, 1, N]
-    d_ref,      # VMEM [1, H, 1, 1] f32 (D skip)
-    z_ref,      # VMEM [1, H, P, 1]
-    w_ref,      # VMEM [H, P, 1] gated-RMSNorm weight (d_inner, head-major)
-    y_ref,      # out VMEM [1, H, P, 1]
-    ns_ref,     # out VMEM [1, H, P, N] storage dtype
+    state_ref,  # VMEM [1, N, HP] storage dtype
+    xs_ref,     # VMEM [1, 1, HP] activation dtype
+    dt_ref,     # VMEM [1, 1, HP] f32 (softplus(dt + bias), per-head -> lanes)
+    decay_ref,  # VMEM [1, 1, HP] f32 (exp(dt * A), per-head -> lanes)
+    bm_ref,     # VMEM [1, N, 1] f32
+    cm_ref,     # VMEM [1, N, 1] f32
+    z_ref,      # VMEM [1, 1, HP] activation dtype
+    d_ref,      # VMEM [1, HP] f32 (D skip, per-head -> lanes; shared)
+    w_ref,      # VMEM [1, HP] gated-RMSNorm weight (shared)
+    y_ref,      # out VMEM [1, 1, HP]
+    ns_ref,     # out VMEM [1, N, HP] storage dtype
     *,
     eps: float,
 ):
-    state = state_ref[0].astype(jnp.float32)          # [H, P, N]
-    xs = xs_ref[0].astype(jnp.float32)                # [H, P, 1]
-    dt = dt_ref[0]                                    # [H, 1, 1]
-    decay = decay_ref[0]
-    bm = bm_ref[0].astype(jnp.float32)                # [1, 1, N]
-    cm = cm_ref[0].astype(jnp.float32)
+    state = state_ref[0].astype(jnp.float32)          # [N, HP]
+    xs = xs_ref[0].astype(jnp.float32)                # [1, HP]
+    dtxs = dt_ref[0] * xs                             # [1, HP]
 
-    new_state = state * decay + (dt * xs) * bm        # [H, P, N]
+    # Update: decay broadcasts over sublanes, B over lanes — full VPU width.
+    new_state = state * decay_ref[0] + bm_ref[0] * dtxs   # [N, HP]
     ns_ref[0] = new_state.astype(ns_ref.dtype)
 
-    y = jnp.sum(new_state * cm, axis=2, keepdims=True)  # [H, P, 1]
-    y = y + d_ref[0] * xs
+    # Readout: sublane reduction -> [1, HP] lane vector.
+    y = jnp.sum(cm_ref[0] * new_state, axis=0, keepdims=True)
+    y = y + d_ref[...] * xs
 
+    # Gate + gated RMSNorm over d_inner (= the lane axis), all lane-parallel.
     z = z_ref[0].astype(jnp.float32)
     g = y * (z * jax.nn.sigmoid(z))                   # y * silu(z)
-    ms = jnp.mean(g * g)                              # rmsnorm over d_inner
+    ms = jnp.mean(g * g)
     g = g * jax.lax.rsqrt(ms + eps)
     y_ref[0] = (g * w_ref[...].astype(jnp.float32)).astype(y_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "interpret"))
 def ssd_gate_step_pallas(
-    state: jnp.ndarray,   # [B, H, P, N] storage dtype (f32 or bf16)
-    xs: jnp.ndarray,      # [B, H, P, 1]
-    dt: jnp.ndarray,      # [B, H, 1, 1] f32
-    decay: jnp.ndarray,   # [B, H, 1, 1] f32
-    bm: jnp.ndarray,      # [B, 1, 1, N]
-    cm: jnp.ndarray,      # [B, 1, 1, N]
-    d_skip: jnp.ndarray,  # [B, H, 1, 1] f32
-    z: jnp.ndarray,       # [B, H, P, 1]
-    norm_w: jnp.ndarray,  # [H, P, 1]
+    state_t: jnp.ndarray,  # [B, N, HP] storage dtype (f32 or bf16)
+    xs: jnp.ndarray,      # [B, 1, HP]
+    dt: jnp.ndarray,      # [B, 1, HP] f32 (per-head, expanded to lanes)
+    decay: jnp.ndarray,   # [B, 1, HP] f32 (per-head, expanded to lanes)
+    bm: jnp.ndarray,      # [B, N, 1] f32
+    cm: jnp.ndarray,      # [B, N, 1] f32
+    z: jnp.ndarray,       # [B, 1, HP]
+    d_skip: jnp.ndarray,  # [1, HP] f32 (shared across rows)
+    norm_w: jnp.ndarray,  # [1, HP] (shared across rows)
     eps: float = 1e-5,
     interpret: bool = False,
 ):
-    """Returns ``(y_gated [B, H, P, 1], new_state [B, H, P, N])``."""
-    B, H, P, N = state.shape
-    row = lambda b: (b, 0, 0, 0)  # noqa: E731
+    """Returns ``(y_gated [B, 1, HP], new_state [B, N, HP])``."""
+    B, N, HP = state_t.shape
+    row = lambda b: (b, 0, 0)  # noqa: E731
     vspec = lambda shape: pl.BlockSpec(shape, row, memory_space=pltpu.VMEM)  # noqa: E731
+    shared = pl.BlockSpec((1, HP), lambda b: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_kernel, eps=eps),
         grid=(B,),
         in_specs=[
-            vspec((1, H, P, N)),
-            vspec((1, H, P, 1)),
-            vspec((1, H, 1, 1)),
-            vspec((1, H, 1, 1)),
-            vspec((1, 1, 1, N)),
-            vspec((1, 1, 1, N)),
-            vspec((1, H, 1, 1)),
-            vspec((1, H, P, 1)),
-            pl.BlockSpec((H, P, 1), lambda b: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            vspec((1, N, HP)),
+            vspec((1, 1, HP)),
+            vspec((1, 1, HP)),
+            vspec((1, 1, HP)),
+            vspec((1, N, 1)),
+            vspec((1, N, 1)),
+            vspec((1, 1, HP)),
+            shared,
+            shared,
         ],
         out_specs=[
-            vspec((1, H, P, 1)),
-            vspec((1, H, P, N)),
+            vspec((1, 1, HP)),
+            vspec((1, N, HP)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, P, 1), z.dtype),
-            jax.ShapeDtypeStruct((B, H, P, N), state.dtype),
+            jax.ShapeDtypeStruct((B, 1, HP), z.dtype),
+            jax.ShapeDtypeStruct((B, N, HP), state_t.dtype),
         ],
         interpret=interpret,
-    )(state, xs, dt, decay, bm, cm, d_skip, z, norm_w)
+    )(state_t, xs, dt, decay, bm, cm, z, d_skip, norm_w)

@@ -136,3 +136,98 @@ def sample_from_logits(
             probs = apply_min_p(probs, params.min_p)
         return gumbel_multinomial(key, probs)
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Runtime-knob sampler (continuous-batching pools)
+# ---------------------------------------------------------------------------
+
+KNOB_FIELDS = (
+    "temperature", "top_p", "top_k", "min_p", "linear", "conf", "quad",
+    "repetition_penalty", "repetition_penalty_window", "cfg_scale",
+)
+
+
+def knobs_from_params(params: SamplingParams, cfg_scale: float) -> dict:
+    """SamplingParams + cfg -> the runtime knob dict (f32/int32 scalars) the
+    pooled step consumes. Values are materialized as dtype-exact scalars so
+    the dyn sampler's arithmetic is bit-identical to the static pipeline."""
+    return {
+        "temperature": jnp.float32(params.temperature),
+        "top_p": jnp.float32(params.top_p),
+        "top_k": jnp.int32(params.top_k),
+        "min_p": jnp.float32(params.min_p),
+        "linear": jnp.float32(params.linear),
+        "conf": jnp.float32(params.conf),
+        "quad": jnp.float32(params.quad),
+        "repetition_penalty": jnp.float32(params.repetition_penalty),
+        "repetition_penalty_window": jnp.int32(
+            params.repetition_penalty_window
+        ),
+        "cfg_scale": jnp.float32(cfg_scale),
+    }
+
+
+def sample_from_logits_dyn(
+    key: jax.Array,
+    logits: jnp.ndarray,
+    knobs: dict,
+    generated_tokens: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Runtime-knob sampling pipeline: same five stages as
+    :func:`sample_from_logits`, but every knob is a TRACED scalar (see
+    :func:`knobs_from_params`) so rows with different sampling configs can
+    share one compiled pooled step — no recompile when a client moves a
+    slider. Every stage is always traced and ``where``-gated to the EXACT
+    identity when its knob is off, so outputs are bit-identical to the
+    static pipeline with the equivalent ``SamplingParams``:
+
+    * repetition penalty: ``generated_tokens`` carries the STATIC max
+      window; positions older than the row's dynamic window are masked out
+      of the one-hot counts (adding exact zeros), and ``penalty == 1``
+      selects the unpenalized logits;
+    * unified/top-p/min-p: computed then selected (their "off" values are
+      not identities under the math — top-p 0 would keep one token,
+      unified 0/0/0 is uniform);
+    * top-k: the pivot (k-th largest) comes from a sort instead of
+      ``lax.top_k`` — same value, works with a traced k;
+    * ``temperature == 0`` selects argmax over the penalized logits.
+    """
+    lf = logits.astype(jnp.float32)
+    if generated_tokens is not None:
+        W = generated_tokens.shape[-1]
+        V = lf.shape[-1]
+        wdyn = knobs["repetition_penalty_window"]
+        valid = jnp.arange(W) >= (W - wdyn)  # last-wdyn slots of the window
+        wt = jnp.minimum(generated_tokens, V - 1).astype(jnp.int32)
+        counts = (
+            jax.nn.one_hot(wt, V, dtype=jnp.float32)
+            * valid.astype(jnp.float32)[..., :, None]
+        ).sum(axis=-2)
+        factors = jnp.power(knobs["repetition_penalty"], counts)
+        penalized = jnp.where(lf <= 0, lf * factors, lf / factors)
+        lf = jnp.where(knobs["repetition_penalty"] != 1.0, penalized, lf)
+
+    t = knobs["temperature"]
+    probs = jax.nn.softmax(lf / jnp.where(t > 0, t, 1.0), axis=-1)
+
+    uni = apply_unified(probs, knobs["linear"], knobs["conf"], knobs["quad"])
+    probs = jnp.where(knobs["linear"] > 0, uni, probs)
+
+    topp = apply_top_p(probs, knobs["top_p"])
+    probs = jnp.where(knobs["top_p"] > 0, topp, probs)
+
+    V = probs.shape[-1]
+    k_eff = jnp.clip(knobs["top_k"], 1, V)
+    svals = jnp.sort(probs, axis=-1)  # ascending
+    pivot = jax.lax.dynamic_slice_in_dim(svals, V - k_eff, 1, axis=-1)
+    topk = jnp.where(probs < pivot, 0.0, probs)
+    topk = topk / jnp.sum(topk, axis=-1, keepdims=True)
+    probs = jnp.where(knobs["top_k"] > 0, topk, probs)
+
+    minp = apply_min_p(probs, knobs["min_p"])
+    probs = jnp.where(knobs["min_p"] > 0, minp, probs)
+
+    sampled = gumbel_multinomial(key, probs)
+    greedy = jnp.argmax(lf, axis=-1).astype(jnp.int32)
+    return jnp.where(t > 0, sampled, greedy)
