@@ -37,10 +37,11 @@ cond = model.prepare_conditioning(params, {"espeak": phon})
 # Staggered joins: advance a few steps between each join (disable_eos not
 # plumbed; rows sample freely — row EOS may stop early, fine for timing).
 for slot in range(S):
-    req = plib.prefill_request(model, params, cond, jax.random.key(slot), 2580, 2.0, SP,
-                               kv_int8=kv_int8, state_bf16=state_bf16)
-    pool = plib.join(pool, req, slot, cond.shape[1], slot)
-    pool = plib.pool_steps_jit(model, params, pool, jax.random.key(9), 3, 2.0, SP)
+    req, knobs = plib.prefill_request(model, params, cond,
+                                      jax.random.key(slot), 2580, 2.0, SP,
+                                      kv_int8=kv_int8, state_bf16=state_bf16)
+    pool = plib.join(pool, req, slot, cond.shape[1], slot, knobs)
+    pool = plib.pool_steps_jit(model, params, pool, jax.random.key(9), 3)
 jax.device_get(pool["pos"])
 if "deep" in sys.argv:
     # Late-generation operating point: bump every row's position by ~20 s
@@ -54,11 +55,11 @@ if "deep" in sys.argv:
             "step": pool["step"] + DEPTH,
             "flush_base": pool["flush_base"] + DEPTH}
 # Warm the timed program (n_steps is static).
-pool = plib.pool_steps_jit(model, params, pool, jax.random.key(9), 86, 2.0, SP)
+pool = plib.pool_steps_jit(model, params, pool, jax.random.key(9), 86)
 jax.device_get(pool["pos"])
 
 t0 = time.perf_counter()
-pool = plib.pool_steps_jit(model, params, pool, jax.random.key(10), 86, 2.0, SP)
+pool = plib.pool_steps_jit(model, params, pool, jax.random.key(10), 86)
 jax.device_get(pool["pos"])
 el = time.perf_counter() - t0
 ms = el / 86 * 1000

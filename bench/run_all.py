@@ -40,8 +40,20 @@ CONFIGS = [
     ("pool8_int8_deep", "bench/pool_bench.py", ["8", "int8", "deep"], ["8", "int8", "deep"]),
     ("pool8_int8_kvint8_deep", "bench/pool_bench.py",
      ["8", "int8", "kvint8", "deep"], ["8", "int8", "kvint8", "deep"]),
+    # Deep single-stream operating point: 30 s generations (the reference's
+    # max, model.py:223) — the KV read share at depth, not the shallow
+    # 5 s headline.
+    ("deep30s_bf16", "bench.py", ["2580", "bf16"], ["430", "bf16"]),
+    ("deep30s_int8", "bench.py", ["2580", "int8"], ["430", "int8"]),
+    # int4 weight-only (phase 3): measured, not shelf-ware; quality gate in
+    # tools/quality_quant.py + tests/test_quant.py.
+    ("headline_int4", "bench.py", ["430", "int4"], ["54", "int4"]),
+    ("headline_int4full", "bench.py", ["430", "int4full"], ["54", "int4full"]),
     # Streaming latency: wall to the first ~0.5 s waveform chunk.
     ("latency_ttfa", "bench/latency_ttfa.py", [], []),
+    # Pooled streaming (VERDICT r2 #2): staggered streams share the pool.
+    ("ttfa_pooled_stream4_int8", "bench/pool_stream_ttfa.py",
+     ["4", "int8"], ["4", "int8"]),
     # Simulated scaling (spoofed CPU mesh — forces its own platform/devices;
     # per-device work + collectives, projection anchored to config1's RTF).
     ("scaling_report", None, [], []),

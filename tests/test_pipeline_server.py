@@ -587,16 +587,29 @@ def test_pooled_server_staggered_requests(pipe):
         assert results["a"][1] == "audio/wav"
         assert srv.metrics.snapshot()["pooled_requests"] == 2
 
-        # A pool-INeligible request (custom sampling) still serves via the
-        # job path.
+        # Custom sampling knobs are per-row RUNTIME values in the pooled
+        # step (VERDICT r2 #3) — this request pools too.
         status, _, _ = _post(
             "http://127.0.0.1:5091/tts",
-            {"text": "Job path request.", "max_new_tokens": 6,
-             "sampling": {"min_p": 0.2},
+            {"text": "Custom knobs request.", "max_new_tokens": 6,
+             "sampling": {"min_p": 0.2}, "cfg_scale": 3.0,
              "emotion": [0.3, 0.03, 0.03, 0.03, 0.03, 0.03, 0.25, 0.3]},
         )
         assert status == 200
-        assert srv.metrics.snapshot()["pooled_requests"] == 2
+        assert srv.metrics.snapshot()["pooled_requests"] == 3
+
+        # A pool-INeligible request (streaming is the remaining exclusion)
+        # still serves via the job path — covered by the streaming tests;
+        # here check the over-window knob fallback: a repetition window
+        # wider than the pool's compiled bound takes the job path.
+        status, _, _ = _post(
+            "http://127.0.0.1:5091/tts",
+            {"text": "Job path request.", "max_new_tokens": 6,
+             "sampling": {"repetition_penalty_window": 64},
+             "emotion": [0.3, 0.03, 0.03, 0.03, 0.03, 0.03, 0.25, 0.3]},
+        )
+        assert status == 200
+        assert srv.metrics.snapshot()["pooled_requests"] == 3
     finally:
         srv.shutdown()
 

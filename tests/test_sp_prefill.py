@@ -88,3 +88,62 @@ def test_decode_continues_from_sp_cache(setup):
     np.testing.assert_allclose(
         np.asarray(sp_y), np.asarray(ref_y), rtol=2e-5, atol=2e-5
     )
+
+
+def test_parallel_engine_routes_long_prefill_through_sp():
+    """VERDICT r2 #6: the SP prefill is reachable from the PRODUCT path —
+    ParallelEngine(sp_prefill=...) routes a long audio-prefix continuation
+    through sp_generate_jit and the decoded codes match the single-device
+    engine (greedy)."""
+    from tests.test_engine import TINY
+    from zonos_vibes_tpu.engine.generate import DecodeEngine
+    from zonos_vibes_tpu.models.zonos import ZonosModel
+    from zonos_vibes_tpu.ops.sampling import SamplingParams
+    from zonos_vibes_tpu.parallel.engine import ParallelEngine
+
+    model = ZonosModel(TINY)
+    params = model.init(jax.random.key(0), jnp.float32)
+    cond = model.prepare_conditioning(
+        params, {"espeak": jnp.asarray([[2, 10, 20, 30, 3]])}
+    )
+    K = model.config.num_codebooks
+    rng = np.random.default_rng(4)
+    prefix = jnp.asarray(
+        rng.integers(0, model.config.codebook_size, (1, K, 24)), jnp.int32
+    )
+    greedy = SamplingParams(temperature=0.0)
+
+    ref = DecodeEngine(model).generate(
+        params, cond, prefix, key=jax.random.key(5), max_new_tokens=10,
+        sampling_params=greedy,
+    )
+
+    eng = ParallelEngine(model, MeshConfig(data=2, model=4), params,
+                         sp_prefill="ring", sp_threshold=16)
+    got = eng.generate(cond, prefix, key=jax.random.key(5),
+                       max_new_tokens=10, sampling_params=greedy)
+
+    assert int(got.valid_length) == int(ref.valid_length)
+    v = int(ref.valid_length)
+    np.testing.assert_array_equal(
+        np.asarray(got.codes[..., :v]), np.asarray(ref.codes[..., :v])
+    )
+
+
+def test_parallel_engine_sp_short_prefill_stays_dense():
+    """Short prefills keep the dense path (no SP padding/collectives)."""
+    from tests.test_engine import TINY
+    from zonos_vibes_tpu.models.zonos import ZonosModel
+    from zonos_vibes_tpu.parallel.engine import ParallelEngine
+    from zonos_vibes_tpu.ops.sampling import SamplingParams
+
+    model = ZonosModel(TINY)
+    params = model.init(jax.random.key(0), jnp.float32)
+    cond = model.prepare_conditioning(
+        params, {"espeak": jnp.asarray([[2, 10, 3]])}
+    )
+    eng = ParallelEngine(model, MeshConfig(data=2, model=4), params,
+                         sp_prefill="ring", sp_threshold=500)
+    got = eng.generate(cond, key=jax.random.key(1), max_new_tokens=6,
+                       sampling_params=SamplingParams(temperature=0.0))
+    assert int(got.valid_length) > 0

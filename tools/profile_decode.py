@@ -87,12 +87,12 @@ def _profile_pool(model, params, steps, logdir):
         params, {"espeak": jnp.asarray([[2] + [40] * 58 + [3]])}
     )
     for slot in range(S):
-        req = plib.prefill_request(model, params, cond, jax.random.key(slot),
-                                   2580, 2.0, sp, kv_int8=kv_int8,
-                                   state_bf16=state_bf16)
-        pool = plib.join(pool, req, slot, cond.shape[1], slot)
-        pool = plib.pool_steps_jit(model, params, pool, jax.random.key(9),
-                                   3, 2.0, sp)
+        req, knobs = plib.prefill_request(
+            model, params, cond, jax.random.key(slot), 2580, 2.0, sp,
+            kv_int8=kv_int8, state_bf16=state_bf16,
+        )
+        pool = plib.join(pool, req, slot, cond.shape[1], slot, knobs)
+        pool = plib.pool_steps_jit(model, params, pool, jax.random.key(9), 3)
     jax.device_get(pool["pos"])
     if "--deep" in sys.argv:
         DEPTH = 1720
@@ -100,12 +100,12 @@ def _profile_pool(model, params, steps, logdir):
                 "step": pool["step"] + DEPTH,
                 "flush_base": pool["flush_base"] + DEPTH}
     pool = plib.pool_steps_jit(model, params, pool, jax.random.key(9),
-                               steps, 2.0, sp)  # compile outside the trace
+                               steps)  # compile outside the trace
     jax.device_get(pool["pos"])
     tracing.start_trace(logdir)
     with tracing.phase("pool_segment"):
         pool = plib.pool_steps_jit(model, params, pool, jax.random.key(10),
-                                   steps, 2.0, sp)
+                                   steps)
         jax.device_get(pool["pos"])
     tracing.stop_trace()
     print(f"pool trace written to {logdir} ({S} slots, {steps} steps)")

@@ -1,0 +1,103 @@
+"""Quantization quality gate (VERDICT r2 #4): a quantization mode ships
+with NUMBERS, not a flag. For each mode vs the bf16 reference at flagship
+scale (random-init weights — the only weights available offline; Gaussian
+weights are the standard proxy for per-channel absmax error):
+
+* greedy code agreement — fraction of identical tokens over a fixed-length
+  greedy decode (disable_eos, same conditioning/seed);
+* distributional drift — mean/max total-variation distance between the
+  next-token distributions (post CFG + softmax) over the decode, per
+  codebook, aggregated.
+
+Usage: python tools/quality_quant.py [steps] [modes...]
+Defaults: 86 steps, modes int8 int4 int4full. Prints one JSON line per mode.
+"""
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zonos_vibes_tpu.utils import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
+
+from zonos_vibes_tpu.config import ZONOS_V01_TRANSFORMER  # noqa: E402
+from zonos_vibes_tpu.engine.generate import DecodeEngine  # noqa: E402
+from zonos_vibes_tpu.models.zonos import ZonosModel  # noqa: E402
+from zonos_vibes_tpu.ops.quant import quantize_zonos_params  # noqa: E402
+from zonos_vibes_tpu.ops.sampling import SamplingParams  # noqa: E402
+
+args = [a for a in sys.argv[1:]]
+steps = int(args[0]) if args and args[0].isdigit() else 86
+modes = [a for a in args if not a.isdigit()] or ["int8", "int4", "int4full"]
+
+model = ZonosModel(ZONOS_V01_TRANSFORMER)
+params = model.init(jax.random.key(0))
+phon = jnp.asarray([[2] + [40] * 58 + [3]])
+cond = model.prepare_conditioning(params, {"espeak": phon})
+GREEDY = SamplingParams(temperature=0.0)
+
+
+def greedy_codes(p):
+    eng = DecodeEngine(model)
+    res = eng.generate(p, cond, key=jax.random.key(1), max_new_tokens=steps,
+                       sampling_params=GREEDY, disable_eos=True)
+    return np.asarray(jax.device_get(res.codes))[0]  # [K, steps]
+
+
+ref_codes = greedy_codes(params)
+
+for mode in modes:
+    bits = 4 if mode == "int4full" else 8
+    mlp_bits = 4 if mode.startswith("int4") else None
+    qp = quantize_zonos_params(params, bits=bits, mlp_bits=mlp_bits)
+    q_codes = greedy_codes(qp)
+    agree = float((q_codes == ref_codes).mean())
+
+    # Distributional drift: teacher-forced on the bf16 greedy prefix —
+    # compare per-step sampling distributions on identical contexts.
+    from zonos_vibes_tpu.ops.delay_pattern import apply_delay_pattern
+    from zonos_vibes_tpu.ops.rope import expand_rope_table, rope_table
+
+    K = model.config.num_codebooks
+    delayed = apply_delay_pattern(
+        jnp.asarray(ref_codes)[None], model.config.masked_token_id
+    )  # [1, K, steps+K]
+    rope = expand_rope_table(rope_table(model.config.backbone.head_dim))
+
+    @jax.jit
+    def probs_along(p, delayed):
+        """Teacher-forced full-sequence pass: prefill the whole delayed
+        buffer as one chunk and read logits at EVERY position."""
+        emb = model.embed_codes(p, delayed)  # [1, T, D]
+        emb = jnp.concatenate([emb, emb], axis=0)
+        hidden = jnp.concatenate([cond.astype(emb.dtype), emb], axis=1)
+        T = hidden.shape[1]
+        cache = model.allocate_cache(2, ((T + 7) // 8) * 8, cond.dtype)
+        lengths = jnp.zeros((2,), jnp.int32)
+        out, _ = model.backbone_forward(
+            p, hidden, cache, jnp.int32(0), lengths, rope
+        )
+        pos = out[:, cond.shape[1]:, :]  # audio positions
+        logits = model.apply_heads(p, pos)  # [2, K, T', V]
+        c, u = jnp.split(logits, 2, axis=0)
+        logits = u + (c - u) * 2.0
+        V = logits.shape[-1]
+        mask = jnp.arange(V)[None, None, None, :] >= model.config.head_vocab_size
+        logits = jnp.where(mask, -1e30, logits)
+        return jax.nn.softmax(logits[0], axis=-1)  # [K, T', V]
+
+    p_ref = np.asarray(jax.device_get(probs_along(params, delayed)))
+    p_q = np.asarray(jax.device_get(probs_along(qp, delayed)))
+    tv = 0.5 * np.abs(p_ref - p_q).sum(-1)  # [K, T']
+    print(json.dumps({
+        "mode": mode, "steps": steps,
+        "greedy_code_agreement": round(agree, 4),
+        "tv_distance_mean": round(float(tv.mean()), 4),
+        "tv_distance_p95": round(float(np.quantile(tv, 0.95)), 4),
+        "tv_distance_max": round(float(tv.max()), 4),
+    }), flush=True)

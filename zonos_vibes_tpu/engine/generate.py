@@ -242,8 +242,10 @@ def _decode_loop(
         )
         logits = logits + logit_bias
 
-        # Repetition penalty window: the last `window` delayed frames.
-        w = sampling.repetition_penalty_window
+        # Repetition penalty window: the last `window` delayed frames. A
+        # window wider than the whole delayed buffer just covers everything
+        # generated (the reference's `[..., -window:]` takes min implicitly).
+        w = min(sampling.repetition_penalty_window, delayed.shape[-1])
         gen_window = jax.lax.dynamic_slice_in_dim(delayed, offset - w, w, axis=2)
 
         key, k_step = jax.random.split(s["key"])

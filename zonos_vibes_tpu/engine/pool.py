@@ -46,8 +46,12 @@ from ..models.zonos import ZonosModel
 from ..ops.attention import NEG_INF
 from ..ops.delay_pattern import revert_delay_pattern
 from ..ops.rope import expand_rope_table, rope_table
-from ..ops.sampling import SamplingParams, sample_from_logits
-from .generate import _find_multiple, _masked_scatter_frame, prefill_jit
+from ..ops.sampling import (
+    SamplingParams,
+    knobs_from_params,
+    sample_from_logits_dyn,
+)
+from .generate import _find_multiple, _masked_scatter_frame, prefill_dyn_jit
 
 
 @dataclass(frozen=True)
@@ -55,6 +59,10 @@ class PoolConfig:
     slots: int = 4
     max_cond_len: int = 512
     max_new_tokens: int = 86 * 30  # per request ceiling (30 s)
+    # Static width of the repetition-penalty window buffer the pooled step
+    # compiles with; rows use any DYNAMIC window <= this (the dyn sampler
+    # masks older columns out of the counts — ops/sampling.py).
+    max_rep_window: int = 8
 
 
 def _pool_cache_len(model: ZonosModel, pc: PoolConfig) -> int:
@@ -70,13 +78,13 @@ def _pool_cache_len(model: ZonosModel, pc: PoolConfig) -> int:
 
 def make_pool(model: ZonosModel, pc: PoolConfig, dtype=jnp.bfloat16,
               kv_int8: bool = False, state_bf16: bool = False) -> dict:
-    """All-slots-free pool state. Transformer caches keep their time-major
-    stage: pooled decode runs RING mode — each row's fresh columns land in
-    its ring slot (pos - flush_base) and the strided time-minor splice
-    happens once per segment (:func:`flush_pool_rings`). The hybrid cache
-    pytree ({attn, runs, solo}) pools as-is: Mamba conv/SSM state is
-    per-row recurrent state with no position, so only its attention layers
-    participate in the per-row position machinery.
+    """All-slots-free pool state. Pooled decode runs RING mode for BOTH
+    backbones — each row's fresh attention columns land in its ring slot
+    (pos - flush_base) and the strided time-minor splice happens once per
+    segment (:func:`flush_pool_rings`). Transformer caches keep their
+    time-major stage; hybrid caches get per-attn-layer ring stages
+    (``pool_ring`` allocation). Mamba conv/SSM state is per-row recurrent
+    state with no position, so it needs no ring at all.
 
     ``kv_int8``: the flushed prefixes store int8 + per-(head, token) f32
     scales (transformer caches only) — at pool scale the KV read is
@@ -100,6 +108,14 @@ def make_pool(model: ZonosModel, pc: PoolConfig, dtype=jnp.bfloat16,
         cache = {k: cache[k] for k in keys}
     lbuf = pc.max_new_tokens + K
     S = pc.slots
+    # Per-row RUNTIME sampling/cfg knobs (ops/sampling.KNOB_FIELDS): rows
+    # with different sampling configs share the one compiled step — the
+    # dyn sampler is where-gated to bit-exact parity with the static
+    # pipeline, so any knob combination still matches its solo generate.
+    default_knobs = knobs_from_params(SamplingParams(), 2.0)
+    knobs = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (S,)), default_knobs
+    )
     return {
         "cache": cache,
         "delayed": jnp.zeros((S, K, lbuf), jnp.int32),
@@ -112,6 +128,7 @@ def make_pool(model: ZonosModel, pc: PoolConfig, dtype=jnp.bfloat16,
         "row_seed": jnp.zeros((S,), jnp.uint32),
         # Ring mode: per-slot flushed watermark (ring covers [base, pos)).
         "flush_base": jnp.zeros((S,), jnp.int32),
+        "knobs": knobs,
     }
 
 
@@ -140,18 +157,28 @@ def prefill_request(
     sampling: SamplingParams,
     kv_int8: bool = False,
     state_bf16: bool = False,
+    audio_prefix_codes: jnp.ndarray | None = None,  # [1, K, Lp] int32
 ) -> dict:
     """Solo prefill for a joining request (its own compiled cond-bucket
-    program); returns the request state to splice via :func:`join`.
+    program); returns ``(request state, knobs)`` to splice via :func:`join`.
     ``kv_int8``/``state_bf16`` must match the pool's (the spliced cache
-    layouts agree)."""
+    layouts agree). Sampling/cfg ride as TRACED knobs (prefill_dyn_jit) —
+    a new knob combination never triggers a prefill recompile.
+    ``audio_prefix_codes``: optional audio-prefix continuation — the row
+    joins at position ``cond_len + Lp + 1`` (compiled per prefix-length
+    bucket, as the solo path is)."""
     K = model.config.num_codebooks
-    empty_prefix = jnp.zeros((1, K, 0), jnp.int32)
-    return prefill_jit(
-        model, params, prefix_conditioning, empty_prefix, key,
-        0, int(max_new_tokens), float(cfg_scale), sampling, False, kv_int8,
+    prefix = (
+        audio_prefix_codes if audio_prefix_codes is not None
+        else jnp.zeros((1, K, 0), jnp.int32)
+    )
+    knobs = knobs_from_params(sampling, float(cfg_scale))
+    state = prefill_dyn_jit(
+        model, params, prefix_conditioning, prefix, key,
+        int(prefix.shape[-1]), int(max_new_tokens), knobs, kv_int8,
         state_bf16,
     )
+    return state, knobs
 
 
 def _splice_cache_rows(pool_cache: dict, req_cache: dict, slot: int,
@@ -216,9 +243,12 @@ def _splice_cache_rows(pool_cache: dict, req_cache: dict, slot: int,
 
 
 @functools.partial(jax.jit, static_argnames=("slot",))
-def join(pool: dict, req_state: dict, slot: int, cond_len, row_seed) -> dict:
+def join(pool: dict, req_state: dict, slot: int, cond_len, row_seed,
+         knobs: dict | None = None) -> dict:
     """Splice a prefilled request into ``slot`` (cond row ``slot``, uncond
-    row ``slots + slot``)."""
+    row ``slots + slot``). ``knobs``: the row's runtime sampling/cfg knobs
+    (from :func:`prefill_request`); traced values, so distinct knob
+    combinations reuse this one compiled join."""
     S = pool["active"].shape[0]
     zero = jnp.zeros((), jnp.int32)
     cache = _splice_cache_rows(pool["cache"], req_state["cache"], slot, S)
@@ -227,6 +257,11 @@ def join(pool: dict, req_state: dict, slot: int, cond_len, row_seed) -> dict:
         (jnp.int32(slot), zero, zero),
     )
     upd = lambda arr, v: arr.at[slot].set(v)
+    new_knobs = pool["knobs"]
+    if knobs is not None:
+        new_knobs = jax.tree.map(
+            lambda rows, v: rows.at[slot].set(v), new_knobs, knobs
+        )
     return {
         "cache": cache,
         "delayed": delayed,
@@ -244,11 +279,12 @@ def join(pool: dict, req_state: dict, slot: int, cond_len, row_seed) -> dict:
         "flush_base": upd(pool["flush_base"],
                           jnp.asarray(cond_len, jnp.int32)
                           + req_state["offset"]),
+        "knobs": new_knobs,
     }
 
 
 def _pool_body(model: ZonosModel, params: dict, pool: dict, base_key,
-               cfg_scale: float, sampling: SamplingParams, rope):
+               wmax: int, rope):
     cfg: ZonosConfig = model.config
     K = cfg.num_codebooks
     S = pool["active"].shape[0]
@@ -267,27 +303,28 @@ def _pool_body(model: ZonosModel, params: dict, pool: dict, base_key,
             [pool["flush_base"], pool["flush_base"]]
         )
     logits, cache = model.compute_logits(
-        params, emb, pool["cache"], jnp.int32(0), lengths, cfg_scale, rope,
-        pooled=True, **kw,
+        params, emb, pool["cache"], jnp.int32(0), lengths,
+        pool["knobs"]["cfg_scale"], rope, pooled=True, **kw,
     )
 
     head_v = model.head_out_dim
     bias = jnp.zeros((S, K, head_v), jnp.float32).at[:, 1:, eos].set(NEG_INF)
     logits = logits + bias
 
-    # Per-row repetition window + per-row PRNG: a row's stream depends only
-    # on (row_seed, row_step) — invariant to pool composition.
-    w = sampling.repetition_penalty_window
-    widx = (pool["step"][:, None] - w + jnp.arange(w)[None, :])  # [S, w]
+    # Per-row repetition window (static wmax buffer, dynamic per-row window
+    # inside the dyn sampler) + per-row PRNG: a row's stream depends only
+    # on (row_seed, row_step, its own knobs) — invariant to pool
+    # composition.
+    widx = (pool["step"][:, None] - wmax + jnp.arange(wmax)[None, :])
     widx = jnp.maximum(widx, 0)[:, None, :].repeat(K, axis=1)
     gen_window = jnp.take_along_axis(pool["delayed"], widx, axis=2)
 
-    def sample_row(seed, step, lg, gw):
+    def sample_row(seed, step, lg, gw, kn):
         k = jax.random.fold_in(jax.random.fold_in(base_key, seed), step)
-        return sample_from_logits(k, lg[None], sampling, gw[None])[0]
+        return sample_from_logits_dyn(k, lg[None], kn, gw[None])[0]
 
     next_token = jax.vmap(sample_row)(
-        pool["row_seed"], pool["step"], logits, gen_window
+        pool["row_seed"], pool["step"], logits, gen_window, pool["knobs"]
     )  # [S, K]
 
     # EOS cascade (reference model.py:283-294 semantics, vectorized).
@@ -331,12 +368,13 @@ def _pool_body(model: ZonosModel, params: dict, pool: dict, base_key,
         "stop_offset": jnp.where(active, stop_offset, pool["stop_offset"]),
         "row_seed": pool["row_seed"],
         "flush_base": pool["flush_base"],
+        "knobs": pool["knobs"],
     }
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "n_steps", "cfg_scale", "sampling"),
+    static_argnames=("model", "n_steps", "wmax"),
     donate_argnames=("pool",),
 )
 def pool_steps_jit(
@@ -345,15 +383,17 @@ def pool_steps_jit(
     pool: dict,
     base_key: jax.Array,
     n_steps: int,
-    cfg_scale: float,
-    sampling: SamplingParams,
+    wmax: int = PoolConfig.max_rep_window,
 ) -> dict:
     """Advance every active row by up to ``n_steps`` pooled decode steps
-    (early exit when nothing is running). Transformer pools run RING mode:
-    columns land in per-row ring slots during the loop, and ONE structural
-    flush at the end splices every row's window back into the time-minor
-    cache (the per-step strided splice this replaces cost ~1.4 ms/step at
-    16 rows). ``n_steps`` must not exceed the ring depth."""
+    (early exit when nothing is running). Sampling/cfg knobs are per-row
+    RUNTIME values (``pool["knobs"]``) — one compiled step serves any mix
+    of request configs; ``wmax`` is the only static sampling bound (the
+    repetition-window buffer width). Ring mode: columns land in per-row
+    ring slots during the loop, and ONE structural flush at the end
+    splices every row's window back into the time-minor cache (the
+    per-step strided splice this replaces cost ~1.4 ms/step at 16 rows).
+    ``n_steps`` must not exceed the ring depth."""
     rope = expand_rope_table(rope_table(model.config.backbone.head_dim))
     ring = _pool_ring_mode(pool["cache"])
     if ring:
@@ -370,7 +410,7 @@ def pool_steps_jit(
 
     def body_fn(carry):
         i, p = carry
-        p = _pool_body(model, params, p, base_key, cfg_scale, sampling, rope)
+        p = _pool_body(model, params, p, base_key, wmax, rope)
         return i + 1, p
 
     _, pool = jax.lax.while_loop(cond_fn, body_fn, (jnp.int32(0), pool))

@@ -50,21 +50,27 @@ from ..ops.pallas.mamba_step import ssd_gate_step_pallas
 _PALLAS_MAMBA = os.environ.get("ZVT_PALLAS_MAMBA", "auto")
 
 
-def _fused_step_eligible(s) -> bool:
+def _fused_step_eligible(s, batch: int) -> bool:
     """Fused decode-core kernel dispatch (ops/pallas/mamba_step.py).
 
-    Default ON where eligible: the SSM state is stored LANE-TRANSPOSED
-    (``[B, N, H*P]``, ops/mamba.state_to_lanes) so the fused
-    update→readout→gate→norm chain runs full-VPU-width (the earlier
-    ``[B, H, P, N]``-native kernel was measured SLOWER — post-readout work
-    landed on 1 of 128 lanes; docs/KERNELS.md). ngroups == 1 only (the
-    flagship layout); other configs take the XLA chain (ssd_step_t) on the
-    same transposed state."""
+    Default ON for BATCHED decode (pool/group rows): the SSM state is
+    stored LANE-TRANSPOSED (``[B, N, H*P]``, ops/mamba.state_to_lanes) so
+    the fused update→readout→gate→norm chain runs full-VPU-width (the
+    earlier ``[B, H, P, N]``-native kernel was measured SLOWER —
+    post-readout work landed on 1 of 128 lanes; docs/KERNELS.md). At
+    batch >= 8 CFG rows the kernel runs at the state's HBM roofline
+    (35.8 us/layer at 16 rows) and the pooled step dropped 11.2 -> 7.0 ms;
+    at batch 2 (single-stream CFG) the same kernel LOST 14% wall
+    (3.92 -> 3.37 RTF, config5 int8) — per-call overhead and lost fusion
+    with neighbors dominate the tiny DMAs — so small batches keep the XLA
+    chain (ssd_step_t) on the same transposed state. ngroups == 1 only
+    (the flagship layout)."""
     if _PALLAS_MAMBA == "0":
         return False
     ok = (
         s.ngroups == 1
         and s.d_inner % 128 == 0
+        and batch >= 8
         and jax.default_backend() == "tpu"
     )
     return ok if _PALLAS_MAMBA == "auto" else True
@@ -327,7 +333,7 @@ class HybridBackbone:
             )
             P = s.headdim
             dt0 = dt[:, 0]  # [B, H] f32
-            if _fused_step_eligible(s):
+            if _fused_step_eligible(s, B):
                 # Fused Pallas core on the lane-transposed [B, N, H*P]
                 # state: update + C·h readout + D skip + silu(z) gate +
                 # gated RMSNorm in one kernel, state held in VMEM across

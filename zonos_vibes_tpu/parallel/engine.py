@@ -44,13 +44,33 @@ def initialize_multihost(coordinator_address: str | None = None,
 
 class ParallelEngine:
     """Generation over a named mesh. ``mesh_config.data * model * ...`` must
-    divide the available device count."""
+    divide the available device count.
 
-    def __init__(self, model: ZonosModel, mesh_config: MeshConfig, params: dict):
+    ``sp_prefill``: "ring" | "ulysses" | None — route LONG prefills
+    (cond + audio prefix >= ``sp_threshold`` positions) through the
+    sequence-parallel prefill (parallel/sp_generate.py): the prefill pass
+    shards the sequence over the ``model`` axis, writes the standard decode
+    cache, and decode proceeds unchanged (SURVEY.md §5.7 long-context).
+    Transformer backbones only; short prefills keep the dense path."""
+
+    def __init__(self, model: ZonosModel, mesh_config: MeshConfig, params: dict,
+                 sp_prefill: str | None = None, sp_threshold: int = 512):
         self.model = model
         self.mesh = make_mesh(mesh_config)
         self.mesh_config = mesh_config
         self.params = shard_pytree(params, zonos_param_specs(params), self.mesh)
+        if sp_prefill is not None:
+            if model.config.backbone.is_hybrid:
+                raise ValueError("sp_prefill supports transformer backbones")
+            if mesh_config.model < 2:
+                raise ValueError("sp_prefill shards over the model axis "
+                                 "(needs model >= 2)")
+            if "weight_int8" in params["backbone"]["layers"]["in_proj"]:
+                raise ValueError("sp_prefill is a bf16 prefill path "
+                                 "(quantized decode still applies after a "
+                                 "dense prefill)")
+        self.sp_prefill = sp_prefill
+        self.sp_threshold = sp_threshold
 
     @property
     def data_parallelism(self) -> int:
@@ -85,6 +105,22 @@ class ParallelEngine:
             b = prefix_conditioning.shape[0] // 2
             audio_prefix_codes = jnp.zeros((b, K, 0), jnp.int32)
         cond = self.shard_batch(prefix_conditioning)
+        prefill_len = (
+            prefix_conditioning.shape[1] + audio_prefix_codes.shape[-1] + 1
+        )
+        if self.sp_prefill is not None and prefill_len >= self.sp_threshold:
+            from .sp_generate import sp_generate_jit
+
+            with jax.sharding.set_mesh(self.mesh):
+                codes, valid, valid_rows = sp_generate_jit(
+                    self.model, self.params, cond, audio_prefix_codes, key,
+                    int(audio_prefix_codes.shape[-1]), int(max_new_tokens),
+                    float(cfg_scale), sampling_params, disable_eos,
+                    self.mesh, "model", self.sp_prefill,
+                )
+            return GenerateResult(
+                codes=codes, valid_length=valid, valid_lengths=valid_rows
+            )
         with jax.sharding.set_mesh(self.mesh):
             codes, valid, valid_rows = generate_jit(
                 self.model,
@@ -118,6 +154,8 @@ class PipelineEngine(ParallelEngine):
             raise ValueError("PipelineEngine composes pipe x data only")
         self.mesh = make_mesh(mesh_config)
         self.mesh_config = mesh_config
+        self.sp_prefill = None  # SP prefill composes with TP/DP, not PP
+        self.sp_threshold = 0
         self.model = PipelinedZonosModel(
             config=model.config,
             backbone_name=model.backbone_name,

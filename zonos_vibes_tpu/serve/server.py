@@ -346,8 +346,9 @@ class TTSServer:
 
         sampling = DEFAULT_SAMPLING
         if isinstance(p.get("sampling"), dict):
+            _int_knobs = ("top_k", "repetition_penalty_window")
             sampling = SamplingParams.from_dict(
-                {k: (int(v) if k == "top_k" else float(v))
+                {k: (int(v) if k in _int_knobs else float(v))
                  for k, v in p["sampling"].items()}
             )
         mnt = int(p.get("max_new_tokens", 86 * 30))
@@ -598,6 +599,21 @@ class TTSServer:
                     req.response = out
                     req.done.set()
             elif req.stream_q is not None:
+                # Streaming requests join the pool too (VERDICT r2 #2):
+                # a pooled row emits incremental chunks from the shared
+                # step, so staggered streams amortize the weight read
+                # instead of each paying it solo. Pool-full or ineligible
+                # falls back to the solo stream job.
+                admitted = False
+                if self.pooled and self._pool_eligible(out):
+                    try:
+                        admitted = self._pool_admit(req, out, jobs)
+                    except Exception as e:  # noqa: BLE001 — boundary
+                        tracing.log_event("pool_admit_failed",
+                                          error=repr(e)[:120])
+                        admitted = False
+                if admitted:
+                    continue
                 try:
                     jobs.append(self._start_stream_job(req, out))
                 except Exception as e:  # noqa: BLE001 — boundary
@@ -684,24 +700,27 @@ class TTSServer:
 
     # -- continuous-batching pool (engine/pool.py) --------------------------
 
-    # The pool's static request config (one compiled step for all rows).
-    POOL_CFG_SCALE = 2.0
-
     def _pool_eligible(self, r: dict) -> bool:
-        """Pool rows share one compiled step, so they must share the pool's
-        static config: default cfg/sampling, no stream, no audio prefix, and
-        fit the pool's token ceiling. Any served model qualifies — each
-        pipeline (transformer or hybrid) gets its own pool. Everything else
-        takes the regular job path."""
+        """Sampling/cfg knobs are per-row RUNTIME values in the pooled step
+        (ops/sampling.sample_from_logits_dyn), so any cfg_scale and any
+        sampling config whose repetition window fits the compiled bound is
+        admissible, audio-prefix continuations included (the prefix only
+        shifts the row's join position). Any served model qualifies — each
+        pipeline (transformer or hybrid) gets its own pool; streaming rows
+        emit incremental chunks from the shared step. Only over-ceiling
+        generations and over-window knobs take the regular job path."""
         from ..engine.pool import PoolConfig
 
+        prefix_frames = (
+            int(r["prefix_codes"].shape[-1])
+            if r["prefix_codes"] is not None else 0
+        )
         return (
-            not r["stream"]
-            and r["model"] in self.pipelines
-            and r["prefix_codes"] is None
-            and r["cfg_scale"] == self.POOL_CFG_SCALE
-            and r["sampling"] == DEFAULT_SAMPLING
-            and r["max_new_tokens"] <= PoolConfig.max_new_tokens
+            r["model"] in self.pipelines
+            and r["sampling"].repetition_penalty_window
+            <= PoolConfig.max_rep_window
+            and prefix_frames + r["max_new_tokens"]
+            <= PoolConfig.max_new_tokens
         )
 
     def _pool_admit(self, req: _Request, r: dict, jobs: list) -> bool:
@@ -1089,30 +1108,75 @@ class _PoolJob:
         key = jax.random.fold_in(
             jax.random.key(r["seed"]), self.srv._req_counter
         )
+        prefix = r["prefix_codes"]
+        prefix_frames = int(prefix.shape[-1]) if prefix is not None else 0
         # Prefill with the REQUEST's (bucketed) budget so short requests
         # free their slot early instead of decoding to the pool ceiling.
         mnt = min(self.srv._bucket(r["max_new_tokens"]),
-                  self.pc.max_new_tokens)
-        req_state = self.plib.prefill_request(
+                  self.pc.max_new_tokens - prefix_frames)
+        req_state, knobs = self.plib.prefill_request(
             pipe.model, pipe.params, prefix_cond, key,
-            mnt, self.srv.POOL_CFG_SCALE, DEFAULT_SAMPLING,
+            mnt, r["cfg_scale"], r["sampling"],
             kv_int8=self.kv_int8, state_bf16=self.state_bf16,
+            audio_prefix_codes=prefix,
         )
         row_seed = (r["seed"] * 1000003 + self.srv._req_counter) % (2 ** 31)
         self.pool = self.plib.join(
-            self.pool, req_state, slot, prefix_cond.shape[1], row_seed
+            self.pool, req_state, slot, prefix_cond.shape[1], row_seed, knobs
         )
-        self.rows[slot] = (req, r, time.monotonic())
+        self.rows[slot] = {"req": req, "r": r, "t0": time.monotonic(),
+                           "emitted": 0, "sent": 0}
         if not self.scheduled:
             jobs.append(self)
             self.scheduled = True
         return True
 
+    # Withheld right-margin frames for streaming rows (matches
+    # pipeline.generate_stream: the DAC decoder is non-causal, so emitted
+    # samples always sit >= margin code frames from a synthetic edge —
+    # concatenated chunks equal the one-shot vocode of the same codes).
+    STREAM_MARGIN = 32
+
+    def _vocode_span(self, codes, start: int, end: int, avail: int):
+        """Vocode code frames [start, end) with margin context on both
+        sides (trimmed), windows quantized to 8 frames (bounded compile
+        count) — the pooled analogue of pipeline.generate_stream's
+        vocode_span."""
+        hop = self.pipe.dac.hop
+        m = self.STREAM_MARGIN
+        c0 = max(0, start - m)
+        c1 = min(avail, end + m)
+        c0 = max(0, c1 - (-(c0 - c1) + 7) // 8 * 8)
+        wav = self.pipe._decode_jit(
+            self.pipe.dac_params, jnp.asarray(codes[None, :, c0:c1])
+        )
+        wav = np.asarray(wav[0, 0, :], np.float32)
+        off = (start - c0) * hop
+        return wav[off: off + (end - start) * hop]
+
+    def _stream_progress(self, slot: int, final: bool) -> None:
+        """Emit a streaming row's newly-final frames as a PCM chunk."""
+        row = self.rows[slot]
+        req, r = row["req"], row["r"]
+        codes, valid = self.plib.extract_row(self.pipe.model, self.pool, slot)
+        prefix_frames = (
+            int(r["prefix_codes"].shape[-1])
+            if r["prefix_codes"] is not None else 0
+        )
+        valid = min(valid, r["max_new_tokens"] + prefix_frames)
+        stable = valid if final else max(0, valid - self.STREAM_MARGIN)
+        if stable > row["emitted"]:
+            pcm = self._vocode_span(codes, row["emitted"], stable, valid)
+            data = (np.clip(pcm, -1.0, 1.0) * 32767.0).astype(np.int16)
+            req.stream_q.put(data.tobytes())
+            row["emitted"] = stable
+            row["sent"] += pcm.shape[-1]
+
     def advance(self) -> bool:
         t0 = time.monotonic()
         self.pool = self.plib.pool_steps_jit(
             self.pipe.model, self.pipe.params, self.pool, self.base_key,
-            self.srv.segment_steps, self.srv.POOL_CFG_SCALE, DEFAULT_SAMPLING,
+            self.srv.segment_steps,
         )
         # ONE host readback for the barrier AND the finished-row check —
         # per-slot row_finished() would cost 2 device reads per slot per
@@ -1124,7 +1188,17 @@ class _PoolJob:
         with self.srv.metrics.lock:
             self.srv.metrics.compute_seconds_total += time.monotonic() - t0
         for slot in list(self.rows):
-            if active[slot] and remaining[slot] <= 0:
+            row = self.rows[slot]
+            streaming = row["req"].stream_q is not None
+            if streaming and row["req"].cancelled.is_set():
+                # Client went away: stop decoding this row, free the slot.
+                self.rows.pop(slot)
+                self.pool = self.plib.release_row(self.pool, slot)
+                continue
+            done = active[slot] and remaining[slot] <= 0
+            if streaming and not done:
+                self._stream_progress(slot, final=False)
+            if done:
                 self._finish_row(slot)
         if not self.rows:
             self.scheduled = False
@@ -1134,12 +1208,33 @@ class _PoolJob:
     def _finish_row(self, slot: int) -> None:
         # Row stays in self.rows until the response is built, so a vocode
         # failure still replays this request via fail().
-        req, r, t0 = self.rows[slot]
+        row = self.rows[slot]
+        req, r, t0 = row["req"], row["r"], row["t0"]
+        sr = self.pipe.dac.sampling_rate
+        if req.stream_q is not None:
+            # Streaming row: flush the withheld tail, then the end sentinel.
+            self._stream_progress(slot, final=True)
+            with self.srv.metrics.lock:
+                self.srv.metrics.audio_seconds_total += row["sent"] / sr
+                self.srv.metrics.pooled_requests += 1
+            req.stream_q.put(None)
+            self.rows.pop(slot)
+            self.pool = self.plib.release_row(self.pool, slot)
+            tracing.log_event(
+                "tts_pool_stream_done", slot=slot, frames=row["emitted"],
+                wall_s=round(time.monotonic() - t0, 3),
+            )
+            return
         codes, valid = self.plib.extract_row(
             self.pipe.model, self.pool, slot
         )
-        frames = min(valid, r["max_new_tokens"])
-        sr = self.pipe.dac.sampling_rate
+        prefix_frames = (
+            int(r["prefix_codes"].shape[-1])
+            if r["prefix_codes"] is not None else 0
+        )
+        # Same accounting as the solo path (_finish_decode_job): valid
+        # frames cover replayed prefix + continuation.
+        frames = min(valid, r["max_new_tokens"] + prefix_frames)
         if frames > 0:
             # Vocode at a BUCKETED static length (a handful of compiled
             # vocoder shapes) and trim samples — a per-valid-length slice
@@ -1166,11 +1261,26 @@ class _PoolJob:
         )
 
     def fail(self, e: Exception) -> None:
-        reqs = [req for req, _, _ in self.rows.values()]
+        rows = list(self.rows.values())
         self.rows.clear()
         self.scheduled = False
         self.pool = self._fresh_pool()
-        self.srv._replay_or_fail(reqs, e)
+        # Streaming rows can't replay transparently (chunks already shipped):
+        # surface the error on their stream; non-streaming rows replay.
+        err = (500, "application/json",
+               json.dumps({"error": f"TTS stream failed: {e}"}).encode())
+        solo = []
+        for row in rows:
+            req = row["req"]
+            if req.stream_q is not None:
+                with self.srv.metrics.lock:
+                    self.srv.metrics.errors_total += 1
+                req.stream_q.put(("error", err))
+                req.stream_q.put(None)
+            else:
+                solo.append(req)
+        if solo:
+            self.srv._replay_or_fail(solo, e)
 
     def finish(self) -> None:
         pass  # nothing to do: rows finalize inside advance()
