@@ -41,7 +41,8 @@ for slot in range(S):
                                       jax.random.key(slot), 2580, 2.0, SP,
                                       kv_int8=kv_int8, state_bf16=state_bf16)
     pool = plib.join(pool, req, slot, cond.shape[1], slot, knobs)
-    pool = plib.pool_steps_jit(model, params, pool, jax.random.key(9), 3)
+    pool = plib.pool_steps_jit(model, params, pool, jax.random.key(9), 3,
+                               sorted_sampler=False)
 jax.device_get(pool["pos"])
 if "deep" in sys.argv:
     # Late-generation operating point: bump every row's position by ~20 s
@@ -55,11 +56,13 @@ if "deep" in sys.argv:
             "step": pool["step"] + DEPTH,
             "flush_base": pool["flush_base"] + DEPTH}
 # Warm the timed program (n_steps is static).
-pool = plib.pool_steps_jit(model, params, pool, jax.random.key(9), 86)
+pool = plib.pool_steps_jit(model, params, pool, jax.random.key(9), 86,
+                           sorted_sampler=False)
 jax.device_get(pool["pos"])
 
 t0 = time.perf_counter()
-pool = plib.pool_steps_jit(model, params, pool, jax.random.key(10), 86)
+pool = plib.pool_steps_jit(model, params, pool, jax.random.key(10), 86,
+                           sorted_sampler=False)
 jax.device_get(pool["pos"])
 el = time.perf_counter() - t0
 ms = el / 86 * 1000

@@ -35,6 +35,11 @@ CONFIGS = [
     # hybrid pooled step (docs/KERNELS.md); bf16 storage halves it.
     ("pool8_hybrid_int8_statebf16", "bench/pool_bench.py",
      ["8", "int8", "hybrid", "statebf16"], ["8", "int8", "hybrid", "statebf16"]),
+    # 16-slot hybrid: the state stream doubles but the weight read still
+    # amortizes — the lane-transposed fused step keeps it HBM-bound.
+    ("pool16_hybrid_int8_statebf16", "bench/pool_bench.py",
+     ["16", "int8", "hybrid", "statebf16"],
+     ["16", "int8", "hybrid", "statebf16"]),
     # Late-generation operating point (rows ~20 s deep): the pooled KV read
     # rivals the weight read — int8 KV (quantized ring flush) pays here.
     ("pool8_int8_deep", "bench/pool_bench.py", ["8", "int8", "deep"], ["8", "int8", "deep"]),

@@ -92,7 +92,8 @@ def _profile_pool(model, params, steps, logdir):
             kv_int8=kv_int8, state_bf16=state_bf16,
         )
         pool = plib.join(pool, req, slot, cond.shape[1], slot, knobs)
-        pool = plib.pool_steps_jit(model, params, pool, jax.random.key(9), 3)
+        pool = plib.pool_steps_jit(model, params, pool, jax.random.key(9), 3,
+                               sorted_sampler=False)
     jax.device_get(pool["pos"])
     if "--deep" in sys.argv:
         DEPTH = 1720
@@ -100,12 +101,12 @@ def _profile_pool(model, params, steps, logdir):
                 "step": pool["step"] + DEPTH,
                 "flush_base": pool["flush_base"] + DEPTH}
     pool = plib.pool_steps_jit(model, params, pool, jax.random.key(9),
-                               steps)  # compile outside the trace
+                               steps, sorted_sampler=False)  # compile outside the trace
     jax.device_get(pool["pos"])
     tracing.start_trace(logdir)
     with tracing.phase("pool_segment"):
         pool = plib.pool_steps_jit(model, params, pool, jax.random.key(10),
-                                   steps)
+                                   steps, sorted_sampler=False)
         jax.device_get(pool["pos"])
     tracing.stop_trace()
     print(f"pool trace written to {logdir} ({S} slots, {steps} steps)")

@@ -284,7 +284,7 @@ def join(pool: dict, req_state: dict, slot: int, cond_len, row_seed,
 
 
 def _pool_body(model: ZonosModel, params: dict, pool: dict, base_key,
-               wmax: int, rope):
+               wmax: int, sorted_sampler: bool, rope):
     cfg: ZonosConfig = model.config
     K = cfg.num_codebooks
     S = pool["active"].shape[0]
@@ -321,7 +321,9 @@ def _pool_body(model: ZonosModel, params: dict, pool: dict, base_key,
 
     def sample_row(seed, step, lg, gw, kn):
         k = jax.random.fold_in(jax.random.fold_in(base_key, seed), step)
-        return sample_from_logits_dyn(k, lg[None], kn, gw[None])[0]
+        return sample_from_logits_dyn(
+            k, lg[None], kn, gw[None], sorted_stages=sorted_sampler
+        )[0]
 
     next_token = jax.vmap(sample_row)(
         pool["row_seed"], pool["step"], logits, gen_window, pool["knobs"]
@@ -374,7 +376,7 @@ def _pool_body(model: ZonosModel, params: dict, pool: dict, base_key,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "n_steps", "wmax"),
+    static_argnames=("model", "n_steps", "wmax", "sorted_sampler"),
     donate_argnames=("pool",),
 )
 def pool_steps_jit(
@@ -384,16 +386,20 @@ def pool_steps_jit(
     base_key: jax.Array,
     n_steps: int,
     wmax: int = PoolConfig.max_rep_window,
+    sorted_sampler: bool = True,
 ) -> dict:
     """Advance every active row by up to ``n_steps`` pooled decode steps
     (early exit when nothing is running). Sampling/cfg knobs are per-row
     RUNTIME values (``pool["knobs"]``) — one compiled step serves any mix
-    of request configs; ``wmax`` is the only static sampling bound (the
-    repetition-window buffer width). Ring mode: columns land in per-row
-    ring slots during the loop, and ONE structural flush at the end
-    splices every row's window back into the time-minor cache (the
-    per-step strided splice this replaces cost ~1.4 ms/step at 16 rows).
-    ``n_steps`` must not exceed the ring depth."""
+    of request configs; the static sampling bounds are ``wmax`` (the
+    repetition-window buffer width) and ``sorted_sampler`` (False compiles
+    OUT the sort-bearing top-p/top-k stages — XLA:TPU sorts cost ~2 ms per
+    8-slot step — legal only while every row has top_p == top_k == 0; the
+    scheduler picks per segment, each variant compiles once). Ring mode:
+    columns land in per-row ring slots during the loop, and ONE structural
+    flush at the end splices every row's window back into the time-minor
+    cache (the per-step strided splice this replaces cost ~1.4 ms/step at
+    16 rows). ``n_steps`` must not exceed the ring depth."""
     rope = expand_rope_table(rope_table(model.config.backbone.head_dim))
     ring = _pool_ring_mode(pool["cache"])
     if ring:
@@ -410,7 +416,7 @@ def pool_steps_jit(
 
     def body_fn(carry):
         i, p = carry
-        p = _pool_body(model, params, p, base_key, wmax, rope)
+        p = _pool_body(model, params, p, base_key, wmax, sorted_sampler, rope)
         return i + 1, p
 
     _, pool = jax.lax.while_loop(cond_fn, body_fn, (jnp.int32(0), pool))

@@ -173,6 +173,7 @@ def sample_from_logits_dyn(
     logits: jnp.ndarray,
     knobs: dict,
     generated_tokens: jnp.ndarray | None = None,
+    sorted_stages: bool = True,
 ) -> jnp.ndarray:
     """Runtime-knob sampling pipeline: same five stages as
     :func:`sample_from_logits`, but every knob is a TRACED scalar (see
@@ -189,9 +190,17 @@ def sample_from_logits_dyn(
     * unified/top-p/min-p: computed then selected (their "off" values are
       not identities under the math — top-p 0 would keep one token,
       unified 0/0/0 is uniform);
-    * top-k: the pivot (k-th largest) comes from a sort instead of
-      ``lax.top_k`` — same value, works with a traced k;
+    * top-k: the pivot (k-th largest) comes from the SAME descending sort
+      top-p uses — same value as ``lax.top_k``, works with a traced k;
     * ``temperature == 0`` selects argmax over the penalized logits.
+
+    ``sorted_stages`` (STATIC): top-p/top-k are the only stages that need
+    a sort, and XLA:TPU sorts are expensive enough to tax every pooled
+    step (measured ~2 ms/step at 8 slots). ``False`` compiles them OUT —
+    legal only when every row's top_p == 0 and top_k == 0 (the reference
+    defaults: min_p and the unified sampler are sort-free). The pool
+    scheduler picks the variant per segment from its rows' knobs; each
+    variant compiles once.
     """
     lf = logits.astype(jnp.float32)
     if generated_tokens is not None:
@@ -214,16 +223,30 @@ def sample_from_logits_dyn(
     uni = apply_unified(probs, knobs["linear"], knobs["conf"], knobs["quad"])
     probs = jnp.where(knobs["linear"] > 0, uni, probs)
 
-    topp = apply_top_p(probs, knobs["top_p"])
-    probs = jnp.where(knobs["top_p"] > 0, topp, probs)
+    if sorted_stages:
+        # One descending sort serves both stages. top-p: nucleus keep +
+        # inverse-permute back (apply_top_p's exact math, sort hoisted).
+        sort_idx = jnp.argsort(-probs, axis=-1)
+        probs_sort = jnp.take_along_axis(probs, sort_idx, axis=-1)
+        cum = jnp.cumsum(probs_sort, axis=-1)
+        keep = (cum - probs_sort) <= knobs["top_p"]
+        ps = jnp.where(keep, probs_sort, 0.0)
+        inv_idx = jnp.argsort(sort_idx, axis=-1)
+        topp = jnp.take_along_axis(ps, inv_idx, axis=-1)
+        topp = topp / jnp.sum(topp, axis=-1, keepdims=True)
+        probs = jnp.where(knobs["top_p"] > 0, topp, probs)
 
-    V = probs.shape[-1]
-    k_eff = jnp.clip(knobs["top_k"], 1, V)
-    svals = jnp.sort(probs, axis=-1)  # ascending
-    pivot = jax.lax.dynamic_slice_in_dim(svals, V - k_eff, 1, axis=-1)
-    topk = jnp.where(probs < pivot, 0.0, probs)
-    topk = topk / jnp.sum(topk, axis=-1, keepdims=True)
-    probs = jnp.where(knobs["top_k"] > 0, topk, probs)
+        # top-k pivot = k-th largest of the CURRENT probs. When top-p is
+        # active the distribution changed, but only by zeroing a SUFFIX of
+        # the sorted order and rescaling — so the k-th largest is still
+        # sorted position k-1, rescaled identically. Reuse the sort.
+        V = probs.shape[-1]
+        k_eff = jnp.clip(knobs["top_k"], 1, V)
+        probs_now = jnp.take_along_axis(probs, sort_idx, axis=-1)
+        pivot = jax.lax.dynamic_slice_in_dim(probs_now, k_eff - 1, 1, axis=-1)
+        topk = jnp.where(probs < pivot, 0.0, probs)
+        topk = topk / jnp.sum(topk, axis=-1, keepdims=True)
+        probs = jnp.where(knobs["top_k"] > 0, topk, probs)
 
     minp = apply_min_p(probs, knobs["min_p"])
     probs = jnp.where(knobs["min_p"] > 0, minp, probs)

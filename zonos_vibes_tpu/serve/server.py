@@ -1174,9 +1174,17 @@ class _PoolJob:
 
     def advance(self) -> bool:
         t0 = time.monotonic()
+        # Sort-bearing sampling stages (top-p/top-k) compile into the step
+        # only while some active row needs them (~2 ms/step of XLA sort at
+        # 8 slots otherwise); both variants hit the jit cache after their
+        # first segment.
+        needs_sort = any(
+            row["r"]["sampling"].top_p > 0 or row["r"]["sampling"].top_k > 0
+            for row in self.rows.values()
+        )
         self.pool = self.plib.pool_steps_jit(
             self.pipe.model, self.pipe.params, self.pool, self.base_key,
-            self.srv.segment_steps,
+            self.srv.segment_steps, sorted_sampler=needs_sort,
         )
         # ONE host readback for the barrier AND the finished-row check —
         # per-slot row_finished() would cost 2 device reads per slot per
