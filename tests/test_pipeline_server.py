@@ -654,6 +654,23 @@ def test_pooled_server_hybrid_requests(pipe):
             assert results[name][0] == 200, (name, results[name])
             assert results[name][1] == "audio/wav"
         assert srv.metrics.snapshot()["pooled_requests"] == 3
+
+        # Hybrid STREAMING rides the hybrid pool too (its attention ring
+        # stages + per-row SSM state under incremental extraction).
+        req = urllib.request.Request(
+            "http://127.0.0.1:5094/tts",
+            data=json.dumps({
+                "text": "Hybrid pooled stream.", "model": "hybrid",
+                "stream": True, "max_new_tokens": 10,
+                "emotion": [0.3, 0.03, 0.03, 0.03, 0.03, 0.03, 0.25, 0.3],
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=240) as resp:
+            assert resp.status == 200
+            body = resp.read()
+        assert body.startswith(b"RIFF") and len(body) > 44
+        assert srv.metrics.snapshot()["pooled_requests"] == 4
     finally:
         srv.shutdown()
 
