@@ -49,12 +49,31 @@ def quantize_weight(w: jnp.ndarray, bits: int = 8) -> dict:
     return {"weight_int8": jnp.asarray(q), "scale": jnp.asarray(scale)}
 
 
+def _s4_format(shape: tuple):
+    """The canonical packed device layout for an ``s4`` array of ``shape``,
+    probed via AOT lowering of a trivial consumer. Needed because a plain
+    jitted convert emits s4 with ``sub_byte_element_size_in_bits=0``
+    (unpacked) while every consuming program expects the packed (=4)
+    layout, and the relayout device_put recurses on the remote-TPU (axon)
+    platform. One tiny compile per distinct weight shape, cached."""
+    probe = jax.jit(lambda w: w.astype(jnp.bfloat16).sum())
+    comp = probe.lower(jax.ShapeDtypeStruct(shape, jnp.int4)).compile()
+    return comp.input_formats[0][0]
+
+
 def _to_device_int4(q_int8) -> jnp.ndarray:
     """int8 host array (values in ±7) -> device ``s4`` array. The convert
     runs ON DEVICE under jit: the remote-TPU (axon) platform cannot
-    device_put host s4 buffers (its shard_arg path recurses), but a jitted
-    ``convert_element_type`` produces a resident s4 array fine."""
-    return jax.jit(lambda z: z.astype(jnp.int4))(jnp.asarray(q_int8))
+    device_put host s4 buffers (its shard_arg path recurses), and the
+    output format is pinned to the packed s4 layout consumers expect
+    (see ``_s4_format``)."""
+    q = jnp.asarray(q_int8)
+    try:
+        fmt = _s4_format(tuple(q.shape))
+        conv = jax.jit(lambda z: z.astype(jnp.int4), out_shardings=fmt)
+    except Exception:  # noqa: BLE001 — CPU/backends without layout AOT
+        conv = jax.jit(lambda z: z.astype(jnp.int4))
+    return conv(q)
 
 
 def proj_matmul(x: jnp.ndarray, p: dict) -> jnp.ndarray:
