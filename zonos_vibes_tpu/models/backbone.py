@@ -366,6 +366,15 @@ def _stack_forward(
                 return y, k_col, v_col
 
         h, k_new, v_new = _block(layer_params, cfg, h, attend, positions, rope)
+        if is_decode:
+            # Emit decode ys FLAT [B, Hkv*Dh]: a [B, Hkv, Dh, 1] column's
+            # minor dim 1 pads to a full 128-lane tile, so stacking it into
+            # [L, B, Hkv, Dh, 1] ys makes every per-layer write (and the
+            # post-scan flatten) a padded-tile relayout — measured as the
+            # per-step reshape/copy tail in docs/KERNELS.md. The merge
+            # itself moves only size-1 axes (free).
+            k_new = k_new.reshape(B, -1)
+            v_new = v_new.reshape(B, -1)
         return (h, l + 1), (k_new, v_new)
 
     # Pack the four per-layer norm vectors into ONE [L, 4, D] xs leaf: as
@@ -384,7 +393,8 @@ def _stack_forward(
     (hidden, _), (k_cols, v_cols) = jax.lax.scan(
         scan_body, (hidden, jnp.int32(0)), layers_xs
     )
-    # k_cols/v_cols: [L, B, Hkv, Dh, S].
+    # k_cols/v_cols: decode [L, B, Hkv*Dh] (flat columns, see scan_body);
+    # prefill [L, B, Hkv, Dh, S].
     zero = jnp.zeros((), jnp.int32)
     new_cache = dict(cache)
     if is_decode and pooled and ring:
@@ -393,15 +403,16 @@ def _stack_forward(
         # strided time-minor splice happens ONCE per scheduler segment
         # (engine/pool.flush_pool_rings), closing the ~1.4 ms/step per-row
         # splice headroom recorded in docs/KERNELS.md.
-        Lc, Bc = k_cols.shape[0], k_cols.shape[1]
-        cols_k = k_cols.transpose(0, 1, 4, 2, 3).reshape(Lc, Bc, 1, -1)
-        cols_v = v_cols.transpose(0, 1, 4, 2, 3).reshape(Lc, Bc, 1, -1)
-        nks, nvs = cache["k_stage"], cache["v_stage"]
-        for b in range(B_c):
-            idx4 = (zero, jnp.int32(b), ring_len[b], zero)
-            nks = jax.lax.dynamic_update_slice(nks, cols_k[:, b : b + 1], idx4)
-            nvs = jax.lax.dynamic_update_slice(nvs, cols_v[:, b : b + 1], idx4)
-        new_cache["k_stage"], new_cache["v_stage"] = nks, nvs
+        from ..ops.pallas.stage_write import stage_splice_rows_auto
+
+        cols_k = k_cols[:, :, None, :]
+        cols_v = v_cols[:, :, None, :]
+        new_cache["k_stage"] = stage_splice_rows_auto(
+            cache["k_stage"], cols_k, ring_len
+        )
+        new_cache["v_stage"] = stage_splice_rows_auto(
+            cache["v_stage"], cols_v, ring_len
+        )
     elif is_decode and pooled:
         # Per-row column splice at each row's own position. B is small and
         # static, so an unrolled per-row dynamic_update_slice beats a
@@ -409,6 +420,8 @@ def _stack_forward(
         # time-minor write the staged design exists to amortize
         # (CLAUDE.md); used only for caches without a stage (hybrid attn
         # layers) — the transformer pool runs RING mode above.
+        k_cols = k_cols.reshape(k_cols.shape[0], B_c, Hkv_c, Dh_c)[..., None]
+        v_cols = v_cols.reshape(v_cols.shape[0], B_c, Hkv_c, Dh_c)[..., None]
         nk, nv = cache["k"], cache["v"]
         for b in range(B_c):
             bidx = jnp.int32(b)
@@ -425,18 +438,21 @@ def _stack_forward(
         # slot (offset - stage_base) — full (Hkv, Dh) planes, so the write
         # is tile-aligned and cheap; the caller flushes once per KV_STAGE
         # steps (flush_kv_stage).
-        Lc, Bc = k_cols.shape[0], k_cols.shape[1]
-        cols_k = k_cols.transpose(0, 1, 4, 2, 3).reshape(Lc, Bc, 1, -1)
-        cols_v = v_cols.transpose(0, 1, 4, 2, 3).reshape(Lc, Bc, 1, -1)
-        sidx = (zero, zero, stage_len, zero)
-        new_cache["k_stage"] = jax.lax.dynamic_update_slice(
-            cache["k_stage"], cols_k, sidx
+        from ..ops.pallas.stage_write import stage_splice_auto
+
+        cols_k = k_cols[:, :, None, :]
+        cols_v = v_cols[:, :, None, :]
+        new_cache["k_stage"] = stage_splice_auto(
+            cache["k_stage"], cols_k, stage_len
         )
-        new_cache["v_stage"] = jax.lax.dynamic_update_slice(
-            cache["v_stage"], cols_v, sidx
+        new_cache["v_stage"] = stage_splice_auto(
+            cache["v_stage"], cols_v, stage_len
         )
     else:
         # Prefill (or compat decode): splice at time offset across layers.
+        if is_decode:  # compat path emitted flat columns — restore 5-D
+            k_cols = k_cols.reshape(L, B_c, Hkv_c, Dh_c)[..., None]
+            v_cols = v_cols.reshape(L, B_c, Hkv_c, Dh_c)[..., None]
         idx = (zero, zero, zero, zero, jnp.asarray(offset, jnp.int32))
         if kv_int8:
             from ..ops.quant import quantize_kv

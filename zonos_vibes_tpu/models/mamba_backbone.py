@@ -430,13 +430,18 @@ class HybridBackbone:
                 cache["k_stage"][None], cache["v_stage"][None],
                 k_col, v_col, ring_base, ring_len, jnp.int32(0),
             )
+            from ..ops.pallas.stage_write import stage_splice_rows_auto
+
             cols_k = k_col.transpose(0, 3, 1, 2).reshape(B, 1, Hkv * Dh)
             cols_v = v_col.transpose(0, 3, 1, 2).reshape(B, 1, Hkv * Dh)
-            nks, nvs = cache["k_stage"], cache["v_stage"]
-            for b in range(B):
-                idx = (jnp.int32(b), ring_len[b], zero)
-                nks = jax.lax.dynamic_update_slice(nks, cols_k[b : b + 1], idx)
-                nvs = jax.lax.dynamic_update_slice(nvs, cols_v[b : b + 1], idx)
+            # [None] leading unit axis is a bitcast: reuse the [L, ...]
+            # aliased splice kernel for the hybrid's per-layer stages.
+            nks = stage_splice_rows_auto(
+                cache["k_stage"][None], cols_k[None], ring_len
+            )[0]
+            nvs = stage_splice_rows_auto(
+                cache["v_stage"][None], cols_v[None], ring_len
+            )[0]
             out = proj_matmul(y.reshape(B, S, Hq * Dh), lp["out_proj"])
             return out, {**cache, "k_stage": nks, "v_stage": nvs}
         if row_pos is not None:

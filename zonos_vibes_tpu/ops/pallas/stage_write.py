@@ -1,0 +1,133 @@
+"""In-place time-major stage column splice.
+
+The staged decode path writes each step's fresh K/V columns into the
+time-major stage ``[L, B, STAGE, Hkv*Dh]`` at slot ``offset -
+stage_base`` with a ``dynamic_update_slice``. Inside the decode
+while-loop the stage is also read by the attention custom-calls earlier
+in the same step, and XLA's copy insertion around custom-calls is
+conservative: the carry buffer gets a full materialized copy every step
+(~17 us per 13.6 MB stage at the HBM roofline — docs/KERNELS.md "Known
+headroom") even though the update touches one row.
+
+This kernel performs the same splice with ``input_output_aliases``: the
+output IS the input buffer, and the only traffic is one 8-row sublane
+tile read-modify-write per (L, B) plane. A pooled variant splices each
+row at its OWN ring slot (per-row scalar-prefetched slots), replacing
+the unrolled per-row dynamic_update_slice chain.
+
+Pure data movement — no reference counterpart (the reference rebuilds
+contiguous KV tensors per step inside torch's SDPA path,
+/root/reference/zonos/backbone/_torch.py:80-98); the staging scheme is
+a TPU-side design, see docs/KERNELS.md.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _splice_kernel(slot_ref, cols_ref, stage_ref, out_ref):
+    sub = slot_ref[0] % 8
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 8, 1), 2)
+    out_ref[...] = jnp.where(rows == sub, cols_ref[...], stage_ref[...])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def stage_splice_pallas(
+    stage: jnp.ndarray,  # [L, B, STAGE, W]
+    cols: jnp.ndarray,  # [L, B, 1, W] fresh columns
+    slot: jnp.ndarray,  # scalar int32, 0 <= slot < STAGE
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``stage[:, :, slot, :] = cols[:, :, 0, :]`` in place (aliased)."""
+    L, B, S, W = stage.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((L, B, 1, W), lambda i, slot: (0, 0, 0, 0)),
+            pl.BlockSpec((L, B, 8, W), lambda i, slot: (0, 0, slot[0] // 8, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (L, B, 8, W), lambda i, slot: (0, 0, slot[0] // 8, 0)
+        ),
+    )
+    return pl.pallas_call(
+        _splice_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(stage.shape, stage.dtype),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(jnp.asarray(slot, jnp.int32).reshape(1), cols, stage)
+
+
+def _splice_rows_kernel(slots_ref, cols_ref, stage_ref, out_ref):
+    b = pl.program_id(0)
+    sub = slots_ref[b] % 8
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 8, 1), 2)
+    out_ref[...] = jnp.where(rows == sub, cols_ref[...], stage_ref[...])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def stage_splice_rows_pallas(
+    stage: jnp.ndarray,  # [L, B, STAGE, W]
+    cols: jnp.ndarray,  # [L, B, 1, W]
+    slots: jnp.ndarray,  # [B] int32 per-row slots (pool ring positions)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``stage[:, b, slots[b], :] = cols[:, b, 0, :]`` for every row b."""
+    L, B, S, W = stage.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((L, 1, 1, W), lambda b, slots: (0, b, 0, 0)),
+            pl.BlockSpec((L, 1, 8, W), lambda b, slots: (0, b, slots[b] // 8, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (L, 1, 8, W), lambda b, slots: (0, b, slots[b] // 8, 0)
+        ),
+    )
+    return pl.pallas_call(
+        _splice_rows_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(stage.shape, stage.dtype),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(jnp.asarray(slots, jnp.int32), cols, stage)
+
+
+def _eligible(stage: jnp.ndarray) -> bool:
+    L, B, S, W = stage.shape
+    return S % 8 == 0 and W % 128 == 0 and jax.default_backend() == "tpu"
+
+
+def stage_splice_auto(stage, cols, slot) -> jnp.ndarray:
+    """Dispatch: aliased Pallas splice on TPU, dynamic_update_slice
+    elsewhere (CPU tests / non-tile-aligned stages)."""
+    if _eligible(stage):
+        return stage_splice_pallas(stage, cols, slot)
+    zero = jnp.zeros((), jnp.int32)
+    return jax.lax.dynamic_update_slice(
+        stage, cols, (zero, zero, jnp.asarray(slot, jnp.int32), zero)
+    )
+
+
+def stage_splice_rows_auto(stage, cols, slots) -> jnp.ndarray:
+    """Per-row variant dispatch (pool ring stages)."""
+    if _eligible(stage):
+        return stage_splice_rows_pallas(stage, cols, slots)
+    zero = jnp.zeros((), jnp.int32)
+    out = stage
+    for b in range(stage.shape[1]):
+        out = jax.lax.dynamic_update_slice(
+            out,
+            cols[:, b : b + 1],
+            (zero, jnp.int32(b), jnp.asarray(slots[b], jnp.int32), zero),
+        )
+    return out
