@@ -802,3 +802,42 @@ def test_pooled_server_state_bf16(pipe):
         assert job.pool["cache"]["k"].dtype == jnp.float32
     finally:
         srv.shutdown()
+
+
+def test_pooled_server_quantized_bf16_pipeline_admits():
+    """Regression (round 3, caught on the real chip): on a QUANTIZED
+    pipeline the first whole-params tree leaf is an fp32 quantization
+    scale, and deriving the pool's cache dtype from it allocated an fp32
+    pool that no bf16 request cache could splice into — every admit
+    raised a dtype mismatch and fell back to the job path
+    (pooled_requests stayed 0). CPU fixtures are all-fp32, which masked
+    it; this builds the production combination: bf16 activations + int8
+    weights + pooled serving."""
+    from zonos_vibes_tpu.engine import pool as plib
+    from zonos_vibes_tpu.ops.sampling import SamplingParams
+    from zonos_vibes_tpu.serve.server import _PoolJob
+
+    p = ZonosPipeline.from_config(
+        TINY_CFG, key=jax.random.key(0), dtype=jnp.bfloat16,
+        dac=DACAutoencoder(TINY_DAC),
+    ).quantize_int8()
+    # Whole-tree first leaf IS an fp32 scale on this pipeline — the trap.
+    assert jax.tree_util.tree_leaves(p.params)[0].dtype == jnp.float32
+
+    srv = TTSServer(p, host="127.0.0.1", port=5085, request_timeout_s=300,
+                    pooled=True, pool_slots=2, segment_steps=6)
+    job = _PoolJob(srv, "default")
+    assert job.pool["cache"]["k"].dtype == jnp.bfloat16  # NOT fp32
+
+    # The admit-path splice itself: bf16 request cache rows join the pool
+    # without a dtype mismatch, and a pooled segment steps. (No HTTP
+    # round-trip: CPU XLA cannot execute the bf16 VOCODER dot —
+    # "Unsupported element type for DotThunk" — which is unrelated.)
+    cd = p.make_cond_dict(text="Quantized bf16 pooled request.")
+    cond = p.prepare_conditioning(p.merge_cond_dicts([cd], pad_len=32))
+    state, knobs = plib.prefill_request(
+        p.model, p.params, cond, jax.random.key(0), 8, 2.0, SamplingParams()
+    )
+    pool = plib.join(job.pool, state, 0, cond.shape[1], 7, knobs)
+    stepped = plib.pool_steps_jit(p.model, p.params, pool, jax.random.key(1), 6)
+    assert stepped["pos"].shape[0] == 2  # both slots advanced the program

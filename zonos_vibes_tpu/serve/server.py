@@ -1084,9 +1084,15 @@ class _PoolJob:
         self.scheduled = False
 
     def _fresh_pool(self):
-        # Cache dtype follows the activation dtype (bf16 for real
-        # checkpoints, fp32 in CPU tests).
-        emb0 = jax.tree_util.tree_leaves(self.pipe.params)[0]
+        # Cache dtype follows the ACTIVATION dtype (bf16 for real
+        # checkpoints, fp32 in CPU tests). Derive it from the
+        # prefix-conditioner subtree — the whole-params first leaf is an
+        # fp32 quantization SCALE on int8/int4 pipelines, which allocated
+        # an fp32 pool no bf16 request cache could splice into (every
+        # admit failed -> jobs path, pooled_requests stayed 0).
+        emb0 = jax.tree_util.tree_leaves(
+            self.pipe.params["prefix_conditioner"]
+        )[0]
         return self.plib.make_pool(self.pipe.model, self.pc, emb0.dtype,
                                    kv_int8=self.kv_int8,
                                    state_bf16=self.state_bf16)
