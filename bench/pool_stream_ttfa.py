@@ -88,6 +88,9 @@ def main() -> None:
             "unit": "s_to_first_audio",
             "vs_baseline": round(REFERENCE_TTFA_S / med, 4),
             "worst": round(vals[-1], 4),
+            # Streams abort after the first chunk (TTFA purity), so they
+            # count as ADMITTED pool rows, not finished pooled_requests.
+            "pool_admitted": snap["pool_admitted"],
             "pooled_requests": snap["pooled_requests"],
         }))
     finally:

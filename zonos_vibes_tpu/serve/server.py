@@ -117,7 +117,9 @@ class Metrics:
         self.audio_seconds_total = 0.0
         self.compute_seconds_total = 0.0
         self.queue_depth = 0
-        self.pooled_requests = 0
+        self.pooled_requests = 0  # rows that FINISHED in a pool
+        self.pool_admitted = 0  # rows that JOINED a pool (aborted streams
+        # count here but not in pooled_requests)
 
     def snapshot(self) -> dict:
         with self.lock:
@@ -135,6 +137,7 @@ class Metrics:
                 "replayed_requests": self.replayed_requests,
                 "queue_depth": self.queue_depth,
                 "pooled_requests": self.pooled_requests,
+                "pool_admitted": self.pool_admitted,
             }
 
 
@@ -1132,6 +1135,8 @@ class _PoolJob:
         )
         self.rows[slot] = {"req": req, "r": r, "t0": time.monotonic(),
                            "emitted": 0, "sent": 0}
+        with self.srv.metrics.lock:
+            self.srv.metrics.pool_admitted += 1
         if not self.scheduled:
             jobs.append(self)
             self.scheduled = True
