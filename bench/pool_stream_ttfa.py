@@ -92,6 +92,7 @@ def main() -> None:
             # count as ADMITTED pool rows, not finished pooled_requests.
             "pool_admitted": snap["pool_admitted"],
             "pooled_requests": snap["pooled_requests"],
+            "pool_admit_failures": snap["pool_admit_failures"],
         }))
     finally:
         srv.shutdown()

@@ -204,3 +204,57 @@ def test_pooled_streaming_shares_pool_and_matches_oneshot(pipe):  # noqa: F811
         )
     finally:
         srv.shutdown()
+
+
+def test_quantized_pipeline_streaming_joins_pool():
+    """Regression for the b621369 class (VERDICT r3, weak #1): on a
+    QUANTIZED params tree the pool's cache dtype must follow the
+    ACTIVATION dtype (prefix_conditioner subtree), not
+    ``tree_leaves(params)[0]`` — that first leaf is a quantization scale,
+    and the resulting dtype-mismatched pool rejected every admit, so every
+    streaming request silently fell back to the solo-job path
+    (``pooled_requests`` stayed 0 while the TTFA bench measured the
+    serial path). Metrics-level assert: a streaming request on an int8
+    pipeline JOINS the pool, admit never raises, and the stream delivers
+    a valid chunked WAV."""
+    import jax.numpy as jnp
+
+    from zonos_vibes_tpu.models.autoencoder import DACAutoencoder
+    from zonos_vibes_tpu.pipeline import ZonosPipeline
+
+    qpipe = ZonosPipeline.from_config(
+        TINY_CFG, key=jax.random.key(0), dtype=jnp.float32,
+        dac=DACAutoencoder(TINY_DAC),
+    ).quantize_int8()
+    # Precondition of the regression: the whole-tree first leaf must NOT
+    # be a plain activation-dtype weight (it is an int8 weight or an fp32
+    # scale on a quantized tree) — otherwise this test can't distinguish
+    # the subtree-based derivation from the buggy whole-tree one.
+    first = jax.tree_util.tree_leaves(qpipe.params["backbone"])[0]
+    assert first.dtype in (jnp.int8, jnp.float32)
+
+    srv = TTSServer(qpipe, host="127.0.0.1", port=5098,
+                    request_timeout_s=300, pooled=True, pool_slots=2,
+                    segment_steps=6)
+    srv.start_background()
+    try:
+        req = urllib.request.Request(
+            "http://127.0.0.1:5098/tts",
+            data=json.dumps({
+                "text": "Quantized pooled stream.", "stream": True,
+                "max_new_tokens": 12, "seed": 3,
+                "emotion": [0.3, 0.03, 0.03, 0.03, 0.03, 0.03, 0.25, 0.3],
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=280) as resp:
+            assert resp.status == 200
+            body = resp.read()
+        snap = srv.metrics.snapshot()
+        assert snap["pool_admit_failures"] == 0, snap
+        assert snap["pool_admitted"] == 1, snap
+        assert snap["pooled_requests"] == 1, snap
+        header = wav_stream_header(qpipe.dac.sampling_rate)
+        assert body.startswith(header[:4]) and len(body) > len(header)
+    finally:
+        srv.shutdown()

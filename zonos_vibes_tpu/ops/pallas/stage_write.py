@@ -109,7 +109,15 @@ def _eligible(stage: jnp.ndarray) -> bool:
 
 def stage_splice_auto(stage, cols, slot) -> jnp.ndarray:
     """Dispatch: aliased Pallas splice on TPU, dynamic_update_slice
-    elsewhere (CPU tests / non-tile-aligned stages)."""
+    elsewhere (CPU tests / non-tile-aligned stages).
+
+    PRECONDITION: ``0 <= slot < STAGE``. The DUS fallback clamps an
+    out-of-range slot, but the Pallas path does NOT — an OOB block index
+    in the index_map is unspecified and ``slot % 8`` would then write the
+    wrong sublane. Callers (engine/generate.py segment scheduler,
+    engine/pool.py ring) guarantee it by construction (``n_steps <=
+    stage_depth`` asserts + per-segment flushes); keep that invariant if
+    the segment scheduler changes."""
     if _eligible(stage):
         return stage_splice_pallas(stage, cols, slot)
     zero = jnp.zeros((), jnp.int32)
@@ -119,7 +127,11 @@ def stage_splice_auto(stage, cols, slot) -> jnp.ndarray:
 
 
 def stage_splice_rows_auto(stage, cols, slots) -> jnp.ndarray:
-    """Per-row variant dispatch (pool ring stages)."""
+    """Per-row variant dispatch (pool ring stages).
+
+    PRECONDITION: ``0 <= slots[b] < STAGE`` for every row — see
+    ``stage_splice_auto``; the pool ring keeps slots in range by
+    construction (modulo ring arithmetic in engine/pool.py)."""
     if _eligible(stage):
         return stage_splice_rows_pallas(stage, cols, slots)
     zero = jnp.zeros((), jnp.int32)

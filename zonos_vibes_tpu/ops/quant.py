@@ -19,6 +19,9 @@ unchanged).
 
 from __future__ import annotations
 
+import functools
+import warnings
+
 import jax
 import jax.numpy as jnp
 
@@ -49,6 +52,7 @@ def quantize_weight(w: jnp.ndarray, bits: int = 8) -> dict:
     return {"weight_int8": jnp.asarray(q), "scale": jnp.asarray(scale)}
 
 
+@functools.lru_cache(maxsize=None)
 def _s4_format(shape: tuple):
     """The canonical packed device layout for an ``s4`` array of ``shape``,
     probed via AOT lowering of a trivial consumer. Needed because a plain
@@ -71,7 +75,16 @@ def _to_device_int4(q_int8) -> jnp.ndarray:
     try:
         fmt = _s4_format(tuple(q.shape))
         conv = jax.jit(lambda z: z.astype(jnp.int4), out_shardings=fmt)
-    except Exception:  # noqa: BLE001 — CPU/backends without layout AOT
+    except Exception as e:  # noqa: BLE001 — CPU/backends without layout AOT
+        if jax.default_backend() not in ("cpu",):
+            # On axon/TPU the unpacked fallback layout is exactly the one
+            # whose relayout device_put recurses forever — make the probe
+            # failure loud instead of silently reinstating the hang.
+            warnings.warn(
+                f"s4 layout probe failed on backend {jax.default_backend()!r}"
+                f" ({e!r}); falling back to the UNPACKED s4 layout, which is"
+                " known to hang device_put on the axon remote-TPU platform.",
+                stacklevel=2)
         conv = jax.jit(lambda z: z.astype(jnp.int4))
     return conv(q)
 

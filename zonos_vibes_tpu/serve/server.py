@@ -120,6 +120,10 @@ class Metrics:
         self.pooled_requests = 0  # rows that FINISHED in a pool
         self.pool_admitted = 0  # rows that JOINED a pool (aborted streams
         # count here but not in pooled_requests)
+        self.pool_admit_failures = 0  # admit EXCEPTIONS (fell to job path).
+        # Pool-full/ineligible fallbacks are normal and not counted; a
+        # nonzero value means the b621369 class (admit crash -> silent job
+        # path) is back — benches assert this stays 0.
 
     def snapshot(self) -> dict:
         with self.lock:
@@ -138,6 +142,7 @@ class Metrics:
                 "queue_depth": self.queue_depth,
                 "pooled_requests": self.pooled_requests,
                 "pool_admitted": self.pool_admitted,
+                "pool_admit_failures": self.pool_admit_failures,
             }
 
 
@@ -614,6 +619,8 @@ class TTSServer:
                     except Exception as e:  # noqa: BLE001 — boundary
                         tracing.log_event("pool_admit_failed",
                                           error=repr(e)[:120])
+                        with self.metrics.lock:
+                            self.metrics.pool_admit_failures += 1
                         admitted = False
                 if admitted:
                     continue
@@ -636,6 +643,8 @@ class TTSServer:
                     )
                 except Exception as e:  # noqa: BLE001 — boundary: job path works
                     tracing.log_event("pool_admit_failed", error=repr(e)[:120])
+                    with self.metrics.lock:
+                        self.metrics.pool_admit_failures += 1
                     admitted = False
                 if not admitted:
                     leftover_live.append(req)
@@ -881,10 +890,18 @@ class TTSServer:
         t.start()
         return t
 
-    def shutdown(self):
+    def shutdown(self, join_timeout_s: float = 120.0):
         self._stop.set()
         if hasattr(self, "_httpd"):
             self._httpd.shutdown()
+        # JOIN the scheduler thread before returning: a daemon thread still
+        # blocked inside a device call (axon RPC) at interpreter teardown
+        # dies by pthread cancellation inside the C++ runtime —
+        # "terminate called ... FATAL: exception not rethrown" at exit
+        # (observed in the round-3 pooled-TTFA bench stderr). The worker
+        # polls the queue at <=0.2 s, so it exits within one job segment.
+        if self._worker.is_alive():
+            self._worker.join(timeout=join_timeout_s)
 
 
 def main() -> None:
