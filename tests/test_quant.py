@@ -240,3 +240,72 @@ def test_kv_int8_stream_matches_oneshot_across_flush():
     np.testing.assert_array_equal(np.asarray(one.codes),
                                   np.asarray(last.codes))
     assert int(one.valid_length) == int(last.valid_length)
+
+
+def test_quantize_int4_grouped_scales():
+    """Grouped int4 (VERDICT r3 #4): sub-channel scale groups over the
+    contraction axis + per-column MSE clip search. The grouped layout's
+    matmul must match the dequantized dense matmul exactly (same math,
+    batched-dot form), and grouped+clipped error must beat per-channel
+    absmax on gaussian weights."""
+    rng = np.random.default_rng(5)
+    w = jnp.asarray(rng.standard_normal((256, 96)).astype(np.float32))
+    q = quantize_weight(w, bits=4, group_size=64, clip_search=True)
+    assert q["weight_int4"].shape == (4, 64, 96)
+    assert q["scale"].shape == (4, 1, 96)
+    back = dequantize_weight(q, jnp.float32, grouped=True)
+    assert back.shape == (256, 96)
+
+    q_plain = quantize_weight(w, bits=4)
+    back_plain = dequantize_weight(q_plain, jnp.float32)
+    def rel(a):
+        d = np.asarray(a) - np.asarray(w)
+        return np.sqrt((d * d).mean()) / np.asarray(w).std()
+    assert rel(back) < rel(back_plain) * 0.92, (rel(back), rel(back_plain))
+
+    x = jnp.asarray(rng.standard_normal((3, 256)).astype(np.float32))
+    got = proj_matmul(x, q)
+    want = np.asarray(x) @ np.asarray(back)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_quantized_generation_int4_grouped(tmp_path):
+    """Grouped int4 end-to-end: generation runs, specs shard, and the
+    params disk cache round-trips the grouped layout."""
+    from zonos_vibes_tpu.config import MeshConfig
+    from zonos_vibes_tpu.parallel.sharding import (
+        make_mesh, shard_pytree, zonos_param_specs,
+    )
+    from zonos_vibes_tpu.utils.checkpoint import (
+        load_params_cache, save_params_cache,
+    )
+
+    for cfg in (TINY, TINY_HYBRID):
+        model = ZonosModel(cfg)
+        params = model.init(jax.random.key(0), jnp.float32)
+        cond = model.prepare_conditioning(
+            params, {"espeak": jnp.asarray([[2, 10, 20, 30, 3]])}
+        )
+        kwargs = dict(
+            key=jax.random.key(7), max_new_tokens=5,
+            sampling_params=SamplingParams(temperature=0.0), disable_eos=True,
+        )
+        ref = DecodeEngine(model).generate(params, cond, **kwargs)
+        qparams = quantize_zonos_params(params, bits=4, int4_group=32)
+        layers = qparams["backbone"]["layers"]
+        lps = layers if isinstance(layers, list) else [layers]
+        wq = next(lp["fc2"]["weight_int4"] for lp in lps if "fc2" in lp)
+        assert wq.shape[-2] == 32, wq.shape  # grouped layout engaged
+        qres = DecodeEngine(model).generate(qparams, cond, **kwargs)
+        assert qres.codes.shape == ref.codes.shape
+        assert int(qres.valid_length) == int(ref.valid_length)
+        specs = zonos_param_specs(qparams)
+        jax.tree.map(lambda a, b: None, qparams, specs)
+        shard_pytree(qparams, specs, make_mesh(MeshConfig(data=2, model=4)))
+
+    path = tmp_path / "grouped_int4.npz"
+    save_params_cache(path, qparams)
+    loaded = load_params_cache(path)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        qparams, loaded)

@@ -233,13 +233,13 @@ def test_quantized_pipeline_streaming_joins_pool():
     first = jax.tree_util.tree_leaves(qpipe.params["backbone"])[0]
     assert first.dtype in (jnp.int8, jnp.float32)
 
-    srv = TTSServer(qpipe, host="127.0.0.1", port=5098,
+    srv = TTSServer(qpipe, host="127.0.0.1", port=5088,
                     request_timeout_s=300, pooled=True, pool_slots=2,
                     segment_steps=6)
     srv.start_background()
     try:
         req = urllib.request.Request(
-            "http://127.0.0.1:5098/tts",
+            "http://127.0.0.1:5088/tts",
             data=json.dumps({
                 "text": "Quantized pooled stream.", "stream": True,
                 "max_new_tokens": 12, "seed": 3,

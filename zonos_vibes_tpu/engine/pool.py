@@ -242,13 +242,17 @@ def _splice_cache_rows(pool_cache: dict, req_cache: dict, slot: int,
     }
 
 
-@functools.partial(jax.jit, static_argnames=("slot",))
+@jax.jit
 def join(pool: dict, req_state: dict, slot: int, cond_len, row_seed,
          knobs: dict | None = None) -> dict:
     """Splice a prefilled request into ``slot`` (cond row ``slot``, uncond
     row ``slots + slot``). ``knobs``: the row's runtime sampling/cfg knobs
     (from :func:`prefill_request`); traced values, so distinct knob
-    combinations reuse this one compiled join."""
+    combinations reuse this one compiled join. ``slot`` is traced too —
+    ONE compiled join serves every slot (a static slot cost one
+    compile per slot over the remote-TPU tunnel at first use, the
+    dominant term in the round-3 pooled-TTFA regression)."""
+    slot = jnp.asarray(slot, jnp.int32)
     S = pool["active"].shape[0]
     zero = jnp.zeros((), jnp.int32)
     cache = _splice_cache_rows(pool["cache"], req_state["cache"], slot, S)
@@ -509,17 +513,32 @@ def row_finished(pool: dict, slot: int) -> bool:
     return bool(pool["active"][slot]) and int(pool["remaining"][slot]) <= 0
 
 
-def extract_row(model: ZonosModel, pool: dict, slot: int):
-    """Finished row -> ``(codes [K, frames], valid_frames)``; caller marks
-    the slot free via :func:`release_row`."""
-    K = model.config.num_codebooks
-    delayed = pool["delayed"][slot : slot + 1]
+@functools.partial(jax.jit, static_argnames=("model",))
+def _extract_row_device(model: ZonosModel, pool: dict, slot):
+    """Device half of :func:`extract_row`: ONE compiled program (slot
+    traced) returning the full reverted code grid + the row's counters.
+    The previous eager form dispatched ~a dozen ops per call (each an
+    RPC on the remote-TPU tunnel) and specialized per slot AND per
+    valid-length — extract_row runs per segment per streaming row, so
+    that was a steady TTFA tax."""
+    delayed = jax.lax.dynamic_slice_in_dim(
+        pool["delayed"], jnp.asarray(slot, jnp.int32), 1, axis=0
+    )
     out = revert_delay_pattern(delayed)[0]
     out = jnp.where(out >= model.config.codebook_size, 0, out)
+    slot = jnp.asarray(slot, jnp.int32)
+    return out, pool["step"][slot], pool["stop_offset"][slot]
+
+
+def extract_row(model: ZonosModel, pool: dict, slot: int):
+    """Finished row -> ``(codes [K, frames] np.ndarray, valid_frames)``;
+    caller marks the slot free via :func:`release_row`."""
+    K = model.config.num_codebooks
+    out, step, stop = jax.device_get(_extract_row_device(model, pool, slot))
     # step is the NEXT write column; the last written column is step - 1
     # (== the standard engine's final ``offset``).
-    step = int(pool["step"][slot]) - 1
-    stop = int(pool["stop_offset"][slot])
+    step = int(step) - 1
+    stop = int(stop)
     valid = max(step - K, 0)
     if stop >= 0:
         valid = min(valid, max(stop - 1, 0))

@@ -49,6 +49,18 @@ def _proj_spec(leaf: dict, wspec: P) -> dict:
     takes the same spec."""
     wkey = next((k for k in ("weight_int8", "weight_int4") if k in leaf), None)
     if wkey is not None:
+        if leaf[wkey].ndim == len(wspec) + 1:
+            # Grouped int4 layout [..., G, group, out] (scale
+            # [..., G, 1, out]): the contraction sharding axis moves to
+            # the GROUP axis (>=32 rows, divisible by any TP degree; G
+            # can be tiny) — the per-group post-dot scale commutes with
+            # partial sums WITHIN a group, so row-parallel psum stays
+            # correct. Scale's group axis is size 1 -> unsharded there.
+            axes = list(wspec)
+            return {
+                wkey: P(*axes[:-2], None, axes[-2], axes[-1]),
+                "scale": P(*axes[:-2], None, None, axes[-1]),
+            }
         # Scale is [..., 1, out]: its contraction axis is size 1, so that
         # axis must stay unsharded even for row-parallel weights.
         axes = list(wspec)

@@ -894,6 +894,9 @@ class TTSServer:
         self._stop.set()
         if hasattr(self, "_httpd"):
             self._httpd.shutdown()
+            self._httpd.server_close()  # release the listening socket
+            # (shutdown() alone leaves it open — port collisions for the
+            # next server on the same port in one process, e.g. tests)
         # JOIN the scheduler thread before returning: a daemon thread still
         # blocked inside a device call (axon RPC) at interpreter teardown
         # dies by pthread cancellation inside the C++ runtime —

@@ -90,6 +90,7 @@ SLIDERS.forEach(s => slider(document.getElementById("sliders"), ...s));
 const KNOB_TO_COND = {fmax: "fmax", pitch_std: "pitch_std",
                       speaking_rate: "speaking_rate", dnsmos_ovrl: "dnsmos_ovrl",
                       vq_single: "vqscore_8"};
+let activeConds = null;  // conditioner roster of the SELECTED model
 fetch("/model-info").then(r => r.json()).then(info => {
   // Model selector (reference dropdown, gradio_interface.py:206-217).
   const msel = document.getElementById("model");
@@ -99,9 +100,12 @@ fetch("/model-info").then(r => r.json()).then(info => {
     o.value = o.text = m; if (m === "default") o.selected = true; msel.add(o);
   });
   const byModel = info.conditioners_by_model || {"default": info.conditioners};
-  msel.onchange = () => applyVisibility(new Set(byModel[msel.value] || []));
-  const have = new Set(info.conditioners);
-  applyVisibility(have);
+  msel.onchange = () => {
+    activeConds = new Set(byModel[msel.value] || []);
+    applyVisibility(activeConds);
+  };
+  activeConds = new Set(info.conditioners);
+  applyVisibility(activeConds);
 }).catch(() => {});
 function applyVisibility(have) {
   for (const [knob, cond] of Object.entries(KNOB_TO_COND)) {
@@ -160,17 +164,24 @@ async function generate() {
     prefix_audio_path: document.getElementById("prefix").value || null,
     speaker_audio: await fileB64("speaker_file"),
     prefix_audio: await fileB64("prefix_file"),
-    emotion: EMOTIONS.map(e => val("emo_" + e)),
-    vqscore_8: Array(8).fill(val("vq_single")),
-    fmax: val("fmax"), pitch_std: val("pitch_std"),
-    speaking_rate: val("speaking_rate"), dnsmos_ovrl: val("dnsmos_ovrl"),
-    speaker_noised: document.getElementById("speaker_noised").checked,
     cfg_scale: val("cfg_scale"), seed: val("seed"),
     sampling: { linear: val("linear"), conf: val("conf"), quad: val("quad"),
                 top_p: val("top_p"), top_k: val("top_k"), min_p: val("min_p") },
     max_new_tokens: Math.round(86 * val("max_seconds")),
     unconditional_keys: uncond,
   };
+  // Knobs ride the payload only when the SELECTED model has the matching
+  // conditioner (reference update_ui: hidden controls don't contribute,
+  // gradio_interface.py:31-82,166-179).
+  const has = c => !activeConds || activeConds.has(c);
+  if (has("emotion")) payload.emotion = EMOTIONS.map(e => val("emo_" + e));
+  if (has("vqscore_8")) payload.vqscore_8 = Array(8).fill(val("vq_single"));
+  if (has("fmax")) payload.fmax = val("fmax");
+  if (has("pitch_std")) payload.pitch_std = val("pitch_std");
+  if (has("speaking_rate")) payload.speaking_rate = val("speaking_rate");
+  if (has("dnsmos_ovrl")) payload.dnsmos_ovrl = val("dnsmos_ovrl");
+  if (has("speaker_noised"))
+    payload.speaker_noised = document.getElementById("speaker_noised").checked;
   try {
     const r = await fetch("/tts", {method: "POST", headers: {"Content-Type": "application/json"},
                                    body: JSON.stringify(payload)});

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -284,10 +285,16 @@ def unflatten_pytree(flat: dict) -> dict:
 
 
 def save_params_cache(path: str, params: dict) -> None:
-    flat = {k: np.asarray(v) for k, v in flatten_pytree(params).items()}
-    # bf16 has no numpy dtype on save; view as uint16 with a marker suffix.
+    # bf16/int4 have no native numpy dtype on save: bf16 views as uint16,
+    # int4 (grouped/experimental weights) widens to int8 — each with a
+    # marker suffix so load restores the exact device form (int4 reloads
+    # through _to_device_int4, which re-pins the packed s4 layout).
     out = {}
-    for k, v in flat.items():
+    for k, v in flatten_pytree(params).items():
+        if v.dtype == jnp.int4:
+            out[k + "@s4"] = np.asarray(jax.device_get(v.astype(jnp.int8)))
+            continue
+        v = np.asarray(v)
         if v.dtype == jnp.bfloat16:
             out[k + "@bf16"] = v.view(np.uint16)
         else:
@@ -304,6 +311,10 @@ def load_params_cache(path: str) -> dict:
             flat[k[: -len("@bf16")]] = jnp.asarray(
                 v.view(jnp.bfloat16)
             )
+        elif k.endswith("@s4"):
+            from ..ops.quant import _to_device_int4
+
+            flat[k[: -len("@s4")]] = _to_device_int4(v)
         else:
             flat[k] = jnp.asarray(v)
     return unflatten_pytree(flat)
