@@ -1167,23 +1167,41 @@ class _PoolJob:
     # samples always sit >= margin code frames from a synthetic edge —
     # concatenated chunks equal the one-shot vocode of the same codes).
     STREAM_MARGIN = 32
+    # ONE compiled vocoder shape for pooled streaming. The previous
+    # variable-size windows compiled a NEW DAC program per window length
+    # (~2.4 s each over the remote-TPU tunnel) during every stream's
+    # ramp-up — serialized in the single-owner scheduler, those compiles
+    # were the dominant term of multi-stream pooled TTFA (round-3/4 bench).
+    # Must satisfy VOCODE_WIN >= segment_steps + 2 * STREAM_MARGIN.
+    VOCODE_WIN = 128
 
     def _vocode_span(self, codes, start: int, end: int, avail: int):
-        """Vocode code frames [start, end) with margin context on both
-        sides (trimmed), windows quantized to 8 frames (bounded compile
-        count) — the pooled analogue of pipeline.generate_stream's
-        vocode_span."""
+        """Vocode code frames [start, end) with >= STREAM_MARGIN frames of
+        context on both sides, using FIXED-size windows (zero-code padded
+        past ``avail`` — identical to the one-shot path's bucket zero-pad,
+        so streamed chunks still concatenate to the one-shot vocode of the
+        same codes away from the final margin). Spans longer than one
+        window's emit capacity loop over several fixed windows."""
         hop = self.pipe.dac.hop
         m = self.STREAM_MARGIN
-        c0 = max(0, start - m)
-        c1 = min(avail, end + m)
-        c0 = max(0, c1 - (-(c0 - c1) + 7) // 8 * 8)
-        wav = self.pipe._decode_jit(
-            self.pipe.dac_params, jnp.asarray(codes[None, :, c0:c1])
-        )
-        wav = np.asarray(wav[0, 0, :], np.float32)
-        off = (start - c0) * hop
-        return wav[off: off + (end - start) * hop]
+        W = self.VOCODE_WIN
+        emit_cap = W - 2 * m
+        out = []
+        s = start
+        while s < end:
+            e = min(end, s + emit_cap)
+            c1 = min(avail, e + m)
+            c0 = max(0, c1 - W)
+            win = np.zeros((codes.shape[0], W), np.int32)
+            win[:, : c1 - c0] = np.asarray(codes[:, c0:c1])
+            wav = self.pipe._decode_jit(
+                self.pipe.dac_params, jnp.asarray(win[None])
+            )
+            wav = np.asarray(wav[0, 0, :], np.float32)
+            off = (s - c0) * hop
+            out.append(wav[off: off + (e - s) * hop])
+            s = e
+        return out[0] if len(out) == 1 else np.concatenate(out)
 
     def _stream_progress(self, slot: int, final: bool) -> None:
         """Emit a streaming row's newly-final frames as a PCM chunk."""
