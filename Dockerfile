@@ -14,8 +14,12 @@ FROM python:3.12-slim-bookworm
 
 # Host-side phonemization (C library, SURVEY.md §2.9 N6) + audio IO +
 # build toolchain for the native DSP library (native/zvt_dsp.cpp).
+# espeak-ng is PINNED: phoneme output changes between espeak versions, and
+# any drift vs the reference's voices breaks everything downstream
+# (SURVEY.md §7 hard part #8). 1.52.* is bookworm's espeak-ng line; bump
+# deliberately and re-run the phoneme goldens below when changing it.
 RUN apt-get update && apt-get install -y --no-install-recommends \
-        espeak-ng libsndfile1 g++ make \
+        'espeak-ng=1.52*' libsndfile1 g++ make \
     && rm -rf /var/lib/apt/lists/*
 
 WORKDIR /app
@@ -33,6 +37,19 @@ COPY native ./native
 RUN make -C native
 
 RUN pip install --no-cache-dir ".[frontend]"
+
+# Phoneme-tier gate (VERDICT r3 #6): the image must ship with the REAL
+# espeak-ng library loadable through the ctypes tier and producing
+# IPA-with-stress output over the conditioning symbol table — the
+# real-lib golden test is skip-marked in espeak-less dev environments but
+# MUST run (not skip) here, failing the build on phoneme drift.
+COPY tests ./tests
+RUN pip install --no-cache-dir pytest \
+    && python -m pytest tests/test_phonemize_espeak.py -q \
+    && python - <<'PY'
+from zonos_vibes_tpu.frontend.phonemize import backend_name
+assert backend_name() != "fallback", "espeak-ng not loadable in the image"
+PY
 
 EXPOSE 5000
 

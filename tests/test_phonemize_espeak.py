@@ -124,3 +124,92 @@ def test_ctypes_tier_against_real_libespeak():
                                                     strip=True)[0]
     # Same library underneath: identical up to separator squeezing.
     assert out.replace(" ", "") == pkg.replace(" ", "")
+
+
+# -- multilingual recorded corpus (VERDICT r3 #6) ---------------------------
+# Per-voice recorded espeak-ng outputs: pins voice switching, UTF-8
+# multi-byte decode (de umlauts, ja kana, cmn tone letters), and the
+# punctuation-preserving restitch (reference preserve_punctuation=True +
+# with_stress=True, conditioning.py:189-216) against drift — even offline.
+
+MULTILINGUAL_RECORDED = {
+    # voice -> {input chunk (stripped): recorded IPA}
+    b"en-us": {
+        "hello world": "həlˈoʊ wˈɜːld",
+        "goodbye": "ɡʊdˈbaɪ",
+    },
+    b"de": {
+        "guten morgen": "ɡˈuːtn̩ mˈɔʁɡŋ̍",
+        "schöne welt": "ʃˈøːnə vˈɛlt",
+    },
+    b"ja": {
+        "こんにちは": "kˈoɲɲit͡ɕiwa",
+    },
+    b"cmn": {
+        "你好": "ni˨˩˦xɑʊ˨˩˦",
+    },
+}
+
+
+class _FakeMultiVoiceLib:
+    """espeak-ng C surface with per-voice recorded outputs; one clause per
+    call (inputs below are single-clause chunks)."""
+
+    def __init__(self):
+        self.voice = None
+        self.voices_seen = []
+        self.espeak_TextToPhonemes = _FnProxy(self._ttp)
+
+    def espeak_Initialize(self, *a):
+        return 22050
+
+    def espeak_SetVoiceByName(self, name: bytes):
+        self.voice = name
+        if name not in self.voices_seen:
+            self.voices_seen.append(name)
+        return 0
+
+    def _ttp(self, ref, textmode, mode):
+        assert mode == (ord(" ") << 8) | 0x02  # IPA + space separator
+        pp = ctypes.cast(ref, ctypes.POINTER(ctypes.c_char_p))
+        raw = pp.contents.value
+        if raw is None:
+            return None
+        text = raw.decode("utf-8").strip()
+        pp.contents.value = None  # single clause consumed
+        table = MULTILINGUAL_RECORDED[self.voice]
+        return table[text].encode("utf-8")
+
+
+def test_ctypes_tier_multilingual_recorded_corpus():
+    lib = _FakeMultiVoiceLib()
+    cases = [
+        ("hello world. goodbye.", "en-us", "həlˈoʊ wˈɜːld. ɡʊdˈbaɪ."),
+        ("guten morgen, schöne welt!", "de",
+         "ɡˈuːtn̩ mˈɔʁɡŋ̍, ʃˈøːnə vˈɛlt!"),
+        ("こんにちは…", "ja", "kˈoɲɲit͡ɕiwa…"),
+        ("你好!", "cmn", "ni˨˩˦xɑʊ˨˩˦!"),
+    ]
+    for text, lang, want in cases:
+        got = ph._espeak_phonemize_preserving(lib, text, lang)
+        assert got == want, (lang, got, want)
+    # Voice switched per language, in request order.
+    assert lib.voices_seen == [b"en-us", b"de", b"ja", b"cmn"]
+
+
+def test_ctypes_tier_punctuation_preserved_and_tokenizable():
+    """Preserved marks are REAL symbols of the conditioning vocabulary
+    (conditioning.py:145-160): the restitched string tokenizes without
+    UNK at the punctuation positions, and stress marks survive."""
+    from zonos_vibes_tpu.frontend.text import _SYMBOL_TO_ID as SYMBOL_TO_ID, tokenize_phonemes
+
+    lib = _FakeMultiVoiceLib()
+    got = ph._espeak_phonemize_preserving(
+        lib, "hello world, goodbye. hello world!", "en-us")
+    assert got == "həlˈoʊ wˈɜːld, ɡʊdˈbaɪ. həlˈoʊ wˈɜːld!"
+    assert "ˈ" in got  # with_stress parity
+    ids, lengths = tokenize_phonemes([got])
+    unk = 1
+    for mark in ",.!":
+        assert SYMBOL_TO_ID[mark] != unk
+        assert SYMBOL_TO_ID[mark] in list(ids[0])

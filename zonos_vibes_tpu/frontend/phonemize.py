@@ -109,6 +109,40 @@ def _espeak_phonemize(lib, text: str, language: str) -> str:
     return " ".join(p.strip() for p in out_parts if p.strip())
 
 
+# Split class: the conditioning punctuation set MINUS whitespace — the
+# space in PUNCTUATION is a symbol-table entry, not a phrase boundary
+# (splitting there would phonemize word-by-word and lose connected speech).
+_PUNCT_SPLIT_RE = re.compile(
+    f"([{re.escape(PUNCTUATION.replace(' ', ''))}]+\\s*)"
+)
+
+
+def _espeak_phonemize_preserving(lib, text: str, language: str) -> str:
+    """Punctuation-preserving wrapper over the raw ctypes tier.
+
+    ``espeak_TextToPhonemes`` consumes punctuation silently, but the
+    reference phonemizes with ``preserve_punctuation=True,
+    punctuation_marks=_punctuation`` (conditioning.py:189-216) and the
+    marks are real symbols of the conditioning vocabulary
+    (conditioning.py:145-160) — dropping them starves the model of
+    prosody cues. Mirror the phonemizer package's approach: split at
+    punctuation runs, phonemize each text chunk, re-insert the marks in
+    place (attached to the preceding chunk, one space between segments —
+    the package's restore semantics under ``strip=True``)."""
+    parts = _PUNCT_SPLIT_RE.split(text)
+    out = ""
+    for i, part in enumerate(parts):
+        if not part:
+            continue
+        if i % 2:  # punctuation run (possibly with trailing whitespace)
+            out = out.rstrip() + part.strip() + " "
+        else:
+            ph = _espeak_phonemize(lib, part, language)
+            if ph:
+                out += ph + " "
+    return out.strip()
+
+
 # --- rule-based fallback tier ----------------------------------------------
 
 _FALLBACK_MAP = {
@@ -150,7 +184,8 @@ def phonemize(texts: list[str], languages: list[str]) -> list[str]:
         if tier == "phonemizer":
             out.append(_phonemizer_backend(language).phonemize([text], strip=True)[0])
         elif tier == "espeak-ng":
-            out.append(_espeak_phonemize(_find_espeak_lib(), text, language))
+            out.append(_espeak_phonemize_preserving(
+                _find_espeak_lib(), text, language))
         else:
             out.append(_fallback_phonemize(text))
     return out
