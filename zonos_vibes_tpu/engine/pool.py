@@ -530,19 +530,28 @@ def _extract_row_device(model: ZonosModel, pool: dict, slot):
     return out, pool["step"][slot], pool["stop_offset"][slot]
 
 
-def extract_row(model: ZonosModel, pool: dict, slot: int):
-    """Finished row -> ``(codes [K, frames] np.ndarray, valid_frames)``;
-    caller marks the slot free via :func:`release_row`."""
+def finalize_extract(model: ZonosModel, out, step, stop):
+    """Host half of :func:`extract_row`: trim the device result. ``step``
+    is the NEXT write column; the last written column is step - 1 (== the
+    standard engine's final ``offset``)."""
     K = model.config.num_codebooks
-    out, step, stop = jax.device_get(_extract_row_device(model, pool, slot))
-    # step is the NEXT write column; the last written column is step - 1
-    # (== the standard engine's final ``offset``).
     step = int(step) - 1
     stop = int(stop)
     valid = max(step - K, 0)
     if stop >= 0:
         valid = min(valid, max(stop - 1, 0))
     return out[:, :valid], valid
+
+
+def extract_row(model: ZonosModel, pool: dict, slot: int):
+    """Finished row -> ``(codes [K, frames] np.ndarray, valid_frames)``;
+    caller marks the slot free via :func:`release_row`. Callers extracting
+    SEVERAL rows per barrier (streaming pools) should instead batch the
+    ``_extract_row_device`` results into one ``jax.device_get`` and trim
+    via :func:`finalize_extract` — each separate device_get is a full
+    host<->device roundtrip (0.15 s on the remote-TPU tunnel)."""
+    out, step, stop = jax.device_get(_extract_row_device(model, pool, slot))
+    return finalize_extract(model, out, step, stop)
 
 
 def release_row(pool: dict, slot: int) -> dict:

@@ -1203,11 +1203,16 @@ class _PoolJob:
             s = e
         return out[0] if len(out) == 1 else np.concatenate(out)
 
-    def _stream_progress(self, slot: int, final: bool) -> None:
-        """Emit a streaming row's newly-final frames as a PCM chunk."""
+    def _stream_progress(self, slot: int, final: bool, pre=None) -> None:
+        """Emit a streaming row's newly-final frames as a PCM chunk.
+        ``pre``: (codes, valid) prefetched by advance()'s batched barrier —
+        avoids a per-row device_get roundtrip per segment."""
         row = self.rows[slot]
         req, r = row["req"], row["r"]
-        codes, valid = self.plib.extract_row(self.pipe.model, self.pool, slot)
+        codes, valid = (
+            pre if pre is not None
+            else self.plib.extract_row(self.pipe.model, self.pool, slot)
+        )
         prefix_frames = (
             int(r["prefix_codes"].shape[-1])
             if r["prefix_codes"] is not None else 0
@@ -1235,13 +1240,26 @@ class _PoolJob:
             self.pipe.model, self.pipe.params, self.pool, self.base_key,
             self.srv.segment_steps, sorted_sampler=needs_sort,
         )
-        # ONE host readback for the barrier AND the finished-row check —
-        # per-slot row_finished() would cost 2 device reads per slot per
-        # slice (and block_until_ready is not a reliable barrier on the
-        # remote-TPU platform, CLAUDE.md).
-        active, remaining = jax.device_get(
-            (self.pool["active"], self.pool["remaining"])
-        )
+        # ONE host readback for the barrier, the finished-row check AND the
+        # streaming rows' code extracts — each separate device_get is a
+        # full host<->device roundtrip (~0.15 s on the remote-TPU tunnel),
+        # so per-row extract_row calls here would add ~0.15 s x streams to
+        # every segment (and block_until_ready is not a reliable barrier
+        # on the remote-TPU platform, CLAUDE.md).
+        stream_slots = [
+            slot for slot, row in self.rows.items()
+            if row["req"].stream_q is not None
+            and not row["req"].cancelled.is_set()
+        ]
+        active, remaining, extracts = jax.device_get((
+            self.pool["active"], self.pool["remaining"],
+            {s: self.plib._extract_row_device(self.pipe.model, self.pool, s)
+             for s in stream_slots},
+        ))
+        pre = {
+            s: self.plib.finalize_extract(self.pipe.model, *extracts[s])
+            for s in stream_slots
+        }
         with self.srv.metrics.lock:
             self.srv.metrics.compute_seconds_total += time.monotonic() - t0
         for slot in list(self.rows):
@@ -1254,15 +1272,15 @@ class _PoolJob:
                 continue
             done = active[slot] and remaining[slot] <= 0
             if streaming and not done:
-                self._stream_progress(slot, final=False)
+                self._stream_progress(slot, final=False, pre=pre.get(slot))
             if done:
-                self._finish_row(slot)
+                self._finish_row(slot, pre=pre.get(slot))
         if not self.rows:
             self.scheduled = False
             return True  # leave the job list until the next admit
         return False
 
-    def _finish_row(self, slot: int) -> None:
+    def _finish_row(self, slot: int, pre=None) -> None:
         # Row stays in self.rows until the response is built, so a vocode
         # failure still replays this request via fail().
         row = self.rows[slot]
@@ -1270,7 +1288,7 @@ class _PoolJob:
         sr = self.pipe.dac.sampling_rate
         if req.stream_q is not None:
             # Streaming row: flush the withheld tail, then the end sentinel.
-            self._stream_progress(slot, final=True)
+            self._stream_progress(slot, final=True, pre=pre)
             with self.srv.metrics.lock:
                 self.srv.metrics.audio_seconds_total += row["sent"] / sr
                 self.srv.metrics.pooled_requests += 1
