@@ -88,12 +88,20 @@ def main() -> None:
     res = engine.generate(params, cond, key=jax.random.key(1), **kwargs)
     jax.device_get(res.codes)
 
+    # Steady-state serving throughput: N back-to-back generates with ONE
+    # batched barrier. A device_get per call would charge the tunnel
+    # roundtrip (~40-150 ms, absent on a directly-attached chip) to every
+    # utterance — ~5% of a 430-step run (CLAUDE.md).
+    reps = 3
     t0 = time.perf_counter()
-    res = engine.generate(params, cond, key=jax.random.key(2), **kwargs)
-    jax.device_get(res.codes)
-    elapsed = time.perf_counter() - t0
+    results = [
+        engine.generate(params, cond, key=jax.random.key(2 + i), **kwargs)
+        for i in range(reps)
+    ]
+    jax.device_get([r.codes for r in results])
+    elapsed = (time.perf_counter() - t0) / reps
 
-    frames = int(res.valid_length)
+    frames = int(results[-1].valid_length)
     audio_s = frames / FRAME_RATE
     rtf = audio_s / elapsed
     print(
