@@ -427,3 +427,63 @@ def test_hybrid_stepwise_logits_match_fp64_oracle():
         emb_j = jnp.concatenate([emb_j, emb_j], axis=0)
         lg_j, cache = step_fn(params, emb_j, cache, jnp.int32(pos),
                               jnp.full((2,), pos, jnp.int32))
+
+
+def test_hybrid_prefix_prefill_logits_match_fp64_oracle():
+    """Audio-prefix continuation (model.py:241-255: delayed prefix columns
+    prefill as part of the full sequence): the oracle consumes cond +
+    delayed[..., :lp+1] token-by-token; our jitted prefill must produce
+    the same first-frame CFG logits."""
+    model, params, cond = _setup()
+    cfg = TINY_HYBRID
+    K = cfg.num_codebooks
+    lp = 3
+    rng = np.random.default_rng(8)
+    prefix = rng.integers(0, cfg.codebook_size, (1, K, lp)).astype(np.int64)
+
+    # delayed buffer with the prefix written (engine _prefill_state)
+    T = lp + 6
+    codes = np.full((1, K, T), -1, np.int64)
+    codes[..., :lp] = prefix
+    padded = np.concatenate(
+        [codes, np.full((1, K, K), cfg.masked_token_id, np.int64)], axis=-1)
+    delayed = np.stack(
+        [np.roll(padded[:, k], k + 1, axis=-1) for k in range(K)], axis=1)
+    delayed = np.where(delayed == -1, cfg.masked_token_id, delayed)
+    # (engine embeds UNKNOWN=-1 slots too; in the delayed prefix columns
+    # [:lp+1] every slot is either a prefix code or MASK by construction)
+
+    orc = HybridOracle(params, cfg)
+    cond_np = np.asarray(cond, np.float64)
+    emb = orc.embed(delayed[:, :, 0])
+    hseq = [np.concatenate([emb, emb], axis=0)]
+    for t in range(1, lp + 1):
+        e = orc.embed(delayed[:, :, t])
+        hseq.append(np.concatenate([e, e], axis=0))
+    full = np.concatenate(
+        [cond_np] + [h[:, None, :] for h in hseq], axis=1)
+    last = None
+    for t in range(full.shape[1]):
+        last = orc.forward_token(full[:, t, :], t)
+    lg_o = orc.logits_from_hidden(last)
+
+    from zonos_vibes_tpu.ops.rope import expand_rope_table, rope_table
+
+    rope = expand_rope_table(rope_table(cfg.backbone.head_dim))
+    cond_len = cond_np.shape[1]
+    seq_len = ((cond_len + T + K + 7) // 8) * 8
+    cache = model.allocate_cache(2, seq_len, jnp.float32)
+    emb_j = model.embed_codes(params, jnp.asarray(delayed[:, :, : lp + 1]))
+    emb_j = jnp.concatenate([emb_j, emb_j], axis=0)
+    hidden = jnp.concatenate([jnp.asarray(cond), emb_j], axis=1)
+    lg_j, _ = jax.jit(
+        lambda p, h, c: model.compute_logits(
+            p, h, c, jnp.int32(0), jnp.zeros((2,), jnp.int32), CFG_SCALE,
+            rope)
+    )(params, hidden, cache)
+
+    scale = np.abs(lg_o[..., : cfg.head_vocab_size]).max()
+    np.testing.assert_allclose(
+        np.asarray(lg_j)[..., : cfg.head_vocab_size],
+        lg_o[..., : cfg.head_vocab_size],
+        atol=2e-4 * scale, rtol=2e-3)
