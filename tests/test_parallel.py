@@ -134,3 +134,29 @@ def test_multilingual_heterogeneous_batch(setup):
     assert res.codes.shape == (4, 9, 5)
     codes = np.asarray(res.codes)
     assert codes.min() >= 0 and codes.max() < 1024
+
+
+@pytest.mark.parametrize("cfg_name", ["transformer", "hybrid"])
+def test_sharded_generate_grouped_int4_matches_single_device(cfg_name):
+    """Grouped-scale int4 (ops/quant, round 4) under TP: the G-batched dot
+    + per-group post-dot rescale + group-sum must survive shard_map with
+    the contraction sharded on the GROUP axis (partial sums within a
+    group commute with the scale) — sharded generation matches the
+    single-device grouped-int4 engine exactly."""
+    from zonos_vibes_tpu.ops.quant import quantize_zonos_params
+
+    cfg = TINY if cfg_name == "transformer" else TINY_HYBRID
+    model = ZonosModel(cfg)
+    params = model.init(jax.random.key(0), jnp.float32)
+    qparams = quantize_zonos_params(params, bits=4, int4_group=32)
+    phonemes = jnp.asarray([[2, 10, 20, 30, 3]])
+    cond = model.prepare_conditioning(qparams, {"espeak": phonemes})
+    kwargs = dict(
+        key=jax.random.key(7), max_new_tokens=4,
+        sampling_params=SamplingParams(temperature=0.0),
+    )
+    ref = DecodeEngine(model).generate(qparams, cond, **kwargs)
+    par = ParallelEngine(model, MeshConfig(data=1, model=4), qparams).generate(
+        cond, **kwargs)
+    np.testing.assert_array_equal(np.asarray(ref.codes), np.asarray(par.codes))
+    assert int(ref.valid_length) == int(par.valid_length)
