@@ -16,10 +16,10 @@ FROM python:3.12-slim-bookworm
 # build toolchain for the native DSP library (native/zvt_dsp.cpp).
 # espeak-ng is PINNED: phoneme output changes between espeak versions, and
 # any drift vs the reference's voices breaks everything downstream
-# (SURVEY.md §7 hard part #8). 1.52.* is bookworm's espeak-ng line; bump
-# deliberately and re-run the phoneme goldens below when changing it.
+# (SURVEY.md §7 hard part #8). 1.51+dfsg is bookworm's espeak-ng line;
+# bump deliberately and re-run the phoneme goldens below when changing it.
 RUN apt-get update && apt-get install -y --no-install-recommends \
-        'espeak-ng=1.52*' libsndfile1 g++ make \
+        'espeak-ng=1.51+dfsg*' libsndfile1 g++ make \
     && rm -rf /var/lib/apt/lists/*
 
 WORKDIR /app
@@ -47,7 +47,12 @@ COPY tests ./tests
 RUN pip install --no-cache-dir pytest \
     && python -m pytest tests/test_phonemize_espeak.py -q \
     && python - <<'PY'
-from zonos_vibes_tpu.frontend.phonemize import backend_name
+# The real-lib golden above is skip-marked when libespeak-ng is absent —
+# pytest exits 0 on skips, so enforce loadability EXPLICITLY: the ctypes
+# tier (not just the phonemizer package) must find the shared library,
+# guaranteeing the skip-marked golden actually ran.
+from zonos_vibes_tpu.frontend.phonemize import _find_espeak_lib, backend_name
+assert _find_espeak_lib() is not None, "libespeak-ng not ctypes-loadable"
 assert backend_name() != "fallback", "espeak-ng not loadable in the image"
 PY
 

@@ -226,12 +226,27 @@ def test_quantized_pipeline_streaming_joins_pool():
         TINY_CFG, key=jax.random.key(0), dtype=jnp.float32,
         dac=DACAutoencoder(TINY_DAC),
     ).quantize_int8()
-    # Precondition of the regression: the whole-tree first leaf must NOT
-    # be a plain activation-dtype weight (it is an int8 weight or an fp32
-    # scale on a quantized tree) — otherwise this test can't distinguish
-    # the subtree-based derivation from the buggy whole-tree one.
-    first = jax.tree_util.tree_leaves(qpipe.params["backbone"])[0]
-    assert first.dtype in (jnp.int8, jnp.float32)
+    # Make the bug DETECTABLE on the fp32 CPU pipeline: the original
+    # failure needs tree_leaves(params)[0].dtype != activation dtype
+    # (on TPU: fp32 scale vs bf16 activations; on CPU both are fp32 and
+    # the buggy derivation would coincidentally work). Store the
+    # quantization scales as float16 — numerically fine for this smoke
+    # path, and now the whole-tree first leaf (a backbone fc scale) has a
+    # dtype the activations don't: the buggy derivation would allocate an
+    # fp16 pool no fp32 request cache could splice into.
+    def half_scales(tree):
+        if isinstance(tree, dict):
+            return {
+                k: (v.astype(jnp.float16) if k == "scale" else half_scales(v))
+                for k, v in tree.items()
+            }
+        if isinstance(tree, list):
+            return [half_scales(v) for v in tree]
+        return tree
+    qpipe.params = {**qpipe.params,
+                    "backbone": half_scales(qpipe.params["backbone"])}
+    first = jax.tree_util.tree_leaves(qpipe.params)[0]
+    assert first.dtype == jnp.float16  # precondition: differs from fp32
 
     srv = TTSServer(qpipe, host="127.0.0.1", port=5088,
                     request_timeout_s=300, pooled=True, pool_slots=2,

@@ -65,7 +65,8 @@ class ParallelEngine:
             if mesh_config.model < 2:
                 raise ValueError("sp_prefill shards over the model axis "
                                  "(needs model >= 2)")
-            if "weight_int8" in params["backbone"]["layers"]["in_proj"]:
+            if "weight" not in params["backbone"]["layers"]["in_proj"]:
+                # int8 AND int4/grouped trees lack the dense "weight" leaf.
                 raise ValueError("sp_prefill is a bf16 prefill path "
                                  "(quantized decode still applies after a "
                                  "dense prefill)")

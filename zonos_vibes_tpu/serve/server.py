@@ -1246,19 +1246,20 @@ class _PoolJob:
         # so per-row extract_row calls here would add ~0.15 s x streams to
         # every segment (and block_until_ready is not a reliable barrier
         # on the remote-TPU platform, CLAUDE.md).
-        stream_slots = [
+        fetch_slots = [
             slot for slot, row in self.rows.items()
-            if row["req"].stream_q is not None
-            and not row["req"].cancelled.is_set()
-        ]
+            if not (row["req"].stream_q is not None
+                    and row["req"].cancelled.is_set())
+        ]  # every live row: streaming rows emit each segment, and any row
+        # may FINISH this segment (_finish_row consumes the same extract)
         active, remaining, extracts = jax.device_get((
             self.pool["active"], self.pool["remaining"],
             {s: self.plib._extract_row_device(self.pipe.model, self.pool, s)
-             for s in stream_slots},
+             for s in fetch_slots},
         ))
         pre = {
             s: self.plib.finalize_extract(self.pipe.model, *extracts[s])
-            for s in stream_slots
+            for s in fetch_slots
         }
         with self.srv.metrics.lock:
             self.srv.metrics.compute_seconds_total += time.monotonic() - t0
@@ -1300,8 +1301,9 @@ class _PoolJob:
                 wall_s=round(time.monotonic() - t0, 3),
             )
             return
-        codes, valid = self.plib.extract_row(
-            self.pipe.model, self.pool, slot
+        codes, valid = (
+            pre if pre is not None
+            else self.plib.extract_row(self.pipe.model, self.pool, slot)
         )
         prefix_frames = (
             int(r["prefix_codes"].shape[-1])
