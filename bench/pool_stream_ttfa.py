@@ -59,9 +59,14 @@ def main() -> None:
     pipe = ZonosPipeline.from_config(ZONOS_V01_TRANSFORMER)
     if INT8:
         pipe = pipe.quantize_int8()
+    # Latency-tuned serving config: 24-step segments emit the first chunk
+    # one short segment after a row joins, and margin 16 covers the
+    # 44.1 kHz DAC decoder's ~9-frame half receptive field with slack
+    # (chunks stay sample-exact vs one-shot; TTSServer stream_margin doc).
     srv = TTSServer(pipe, host="127.0.0.1", port=PORT,
                     request_timeout_s=1800, pooled=True,
-                    pool_slots=max(4, N), segment_steps=43)
+                    pool_slots=max(4, N), segment_steps=24,
+                    stream_margin=16)
     srv.start_background()
     try:
         stream_ttfa(0)  # warmup: compiles prefill/pooled-step/vocoder

@@ -75,3 +75,31 @@ def test_roundtrip_shapes(pair):
     assert wav.shape == (1, 1, 5 * 8)
     codes2 = ours.encode(params, wav)
     assert codes2.shape == (1, 3, 5)
+
+
+def test_flagship_decoder_half_receptive_field_within_stream_margin():
+    """The latency-tuned serving config (bench/pool_stream_ttfa.py:
+    stream_margin=16) relies on the 44.1 kHz decoder's half receptive
+    field being < 16 code frames — measure it empirically (perturb one
+    frame, diff the waveforms) so a decoder-topology change that widens
+    the RF fails here instead of silently degrading streamed chunks."""
+    import jax
+
+    cfg = DACConfig()  # flagship topology
+    model = DACModel(cfg)
+    params = model.init(jax.random.key(0))
+    T = 64
+    rng = np.random.default_rng(0)
+    codes = jnp.asarray(
+        rng.integers(0, cfg.codebook_size, (1, cfg.n_codebooks, T)))
+    mid = T // 2
+    codes2 = codes.at[0, :, mid].set(
+        (codes[0, :, mid] + 7) % cfg.codebook_size)
+    w1 = np.asarray(model.decode(params, codes))[0, 0]
+    w2 = np.asarray(model.decode(params, codes2))[0, 0]
+    idx = np.nonzero(np.abs(w1 - w2) > 1e-7)[0]
+    hop = cfg.hop_length
+    left = (mid * hop - idx.min()) / hop
+    right = (idx.max() - (mid + 1) * hop) / hop
+    assert max(left, right) < 16, (left, right)
+    # Measured 9.02 frames each side (round 4); 16 leaves ~77% slack.

@@ -167,6 +167,13 @@ class TTSServer:
         pool_slots: int = 4,
         pool_kv_int8: bool = False,
         pool_state_bf16: bool = False,
+        stream_margin: int = 32,  # withheld right-margin code frames for
+        # streaming rows; must cover the DAC decoder's half receptive
+        # field in FRAMES (~9 for the 44.1 kHz topology -> 16 is a safe
+        # latency-tuned value there; coarse tiny test DACs need ~19-24,
+        # hence the conservative default). Smaller margin = earlier first
+        # chunk (TTFA) at identical sample-exactness while the margin
+        # still covers the half-RF.
     ):
         self.pipeline = pipeline
         # Multi-model serving (the reference gradio's model selector,
@@ -200,6 +207,7 @@ class TTSServer:
         # halves the state read+write, the dominant HBM stream of the
         # hybrid pooled step at 8-16 rows (engine/pool.make_pool).
         self.pool_state_bf16 = pool_state_bf16
+        self.stream_margin = int(stream_margin)
         self._pool_jobs: dict = {}  # model name -> lazy _PoolJob
         self.queue: "queue.Queue[_Request]" = queue.Queue()
         self.metrics = Metrics()
@@ -540,6 +548,7 @@ class TTSServer:
             cond, prefix, key=key, cfg_scale=r["cfg_scale"],
             max_new_tokens=mnt, sampling_params=r["sampling"],
             chunk_frames=self.segment_steps,
+            margin_frames=self.stream_margin,
         )
         return _StreamJob(self, req, pipe, gen, budget)
 
@@ -1166,7 +1175,13 @@ class _PoolJob:
     # pipeline.generate_stream: the DAC decoder is non-causal, so emitted
     # samples always sit >= margin code frames from a synthetic edge —
     # concatenated chunks equal the one-shot vocode of the same codes).
+    # Server-configurable (TTSServer stream_margin); class attr is the
+    # conservative default.
     STREAM_MARGIN = 32
+
+    @property
+    def _margin(self) -> int:
+        return getattr(self.srv, "stream_margin", self.STREAM_MARGIN)
     # ONE compiled vocoder shape for pooled streaming. The previous
     # variable-size windows compiled a NEW DAC program per window length
     # (~2.4 s each over the remote-TPU tunnel) during every stream's
@@ -1183,7 +1198,7 @@ class _PoolJob:
         same codes away from the final margin). Spans longer than one
         window's emit capacity loop over several fixed windows."""
         hop = self.pipe.dac.hop
-        m = self.STREAM_MARGIN
+        m = self._margin
         W = self.VOCODE_WIN
         emit_cap = W - 2 * m
         out = []
@@ -1218,7 +1233,7 @@ class _PoolJob:
             if r["prefix_codes"] is not None else 0
         )
         valid = min(valid, r["max_new_tokens"] + prefix_frames)
-        stable = valid if final else max(0, valid - self.STREAM_MARGIN)
+        stable = valid if final else max(0, valid - self._margin)
         if stable > row["emitted"]:
             pcm = self._vocode_span(codes, row["emitted"], stable, valid)
             data = (np.clip(pcm, -1.0, 1.0) * 32767.0).astype(np.int16)
