@@ -39,3 +39,22 @@ def test_stage_splice_rows_matches_per_row_dus():
         )
     got = stage_splice_rows_pallas(stage, cols, slots, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("slot", [0, 5, 9, 127])
+def test_stage_splice_large_batch_layer_blocked(slot):
+    """CFG batch 16 at flagship W/stage: the single-cell block OOMs scoped
+    VMEM (measured, batch-8 serving config) — the layer-blocked grid path
+    must produce identical results."""
+    Lb, Bb, Sb, Wb = 26, 16, 128, 512
+    key = jax.random.key(slot + 100)
+    k1, k2 = jax.random.split(key)
+    stage = jax.random.normal(k1, (Lb, Bb, Sb, Wb), jnp.float32)
+    cols = jax.random.normal(k2, (Lb, Bb, 1, Wb), jnp.float32)
+    # Shape-dispatch precondition: this geometry takes the layer grid.
+    assert (2 * Lb * Bb * 8 * Wb + Lb * Bb * Wb) * 4 > 8 * 1024 * 1024
+    want = jax.lax.dynamic_update_slice(
+        stage, cols, (0, 0, jnp.int32(slot), 0)
+    )
+    got = stage_splice_pallas(stage, cols, jnp.int32(slot), interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -44,19 +44,47 @@ def stage_splice_pallas(
     slot: jnp.ndarray,  # scalar int32, 0 <= slot < STAGE
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """``stage[:, :, slot, :] = cols[:, :, 0, :]`` in place (aliased)."""
+    """``stage[:, :, slot, :] = cols[:, :, 0, :]`` in place (aliased).
+
+    Small batches run the whole splice as ONE grid cell (all (L, B)
+    planes in VMEM). Large CFG batches would blow the ~16 MB scoped VMEM
+    with that block (measured: [26, 16, 8, 512] bf16 stage-in + aliased
+    out + cols OOMed at batch-8 serving) — those block over the layer
+    axis instead; same bytes, 26 double-buffered mini-DMAs."""
     L, B, S, W = stage.shape
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(1,),
-        in_specs=[
-            pl.BlockSpec((L, B, 1, W), lambda i, slot: (0, 0, 0, 0)),
-            pl.BlockSpec((L, B, 8, W), lambda i, slot: (0, 0, slot[0] // 8, 0)),
-        ],
-        out_specs=pl.BlockSpec(
-            (L, B, 8, W), lambda i, slot: (0, 0, slot[0] // 8, 0)
-        ),
-    )
+    # Mosaic's real scoped-VMEM need runs ~2.7x this naive block estimate
+    # (double buffering + stack temps: the batch-16 OOM reported 19.5M
+    # scoped for a 7.2M estimate against the 16M limit) — 4M keeps the
+    # proven single-cell form for small batches with ~3x headroom.
+    block_bytes = (2 * L * B * 8 * W + L * B * W) * stage.dtype.itemsize
+    if block_bytes <= 4 * 1024 * 1024:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec((L, B, 1, W), lambda i, slot: (0, 0, 0, 0)),
+                pl.BlockSpec(
+                    (L, B, 8, W), lambda i, slot: (0, 0, slot[0] // 8, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (L, B, 8, W), lambda i, slot: (0, 0, slot[0] // 8, 0)
+            ),
+        )
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(L,),
+            in_specs=[
+                pl.BlockSpec((1, B, 1, W), lambda l, slot: (l, 0, 0, 0)),
+                pl.BlockSpec(
+                    (1, B, 8, W), lambda l, slot: (l, 0, slot[0] // 8, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, B, 8, W), lambda l, slot: (l, 0, slot[0] // 8, 0)
+            ),
+        )
     return pl.pallas_call(
         _splice_kernel,
         grid_spec=grid_spec,
