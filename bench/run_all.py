@@ -50,10 +50,14 @@ CONFIGS = [
     # 5 s headline.
     ("deep30s_bf16", "bench.py", ["2580", "bf16"], ["430", "bf16"]),
     ("deep30s_int8", "bench.py", ["2580", "int8"], ["430", "int8"]),
-    # int4 weight-only (phase 3): measured, not shelf-ware; quality gate in
-    # tools/quality_quant.py + tests/test_quant.py.
+    # int4 weight-only (phase 3): MLP at grouped-scale s4, attention/heads
+    # int8 — measured with the quality gate (tools/quality_quant.py +
+    # tests/test_quant.py). int4FULL is demoted to experimental and OFF
+    # the default suite: its own gate shows the highest TVD, and the
+    # all-int4 program's layout assignment for the grouped 4D s4 inputs
+    # conflicts with the creation-pinned packed layout on the remote-TPU
+    # platform (device_put relayout recursion, round-4 suite stderr).
     ("headline_int4", "bench.py", ["430", "int4"], ["54", "int4"]),
-    ("headline_int4full", "bench.py", ["430", "int4full"], ["54", "int4full"]),
     # Streaming latency: wall to the first ~0.5 s waveform chunk.
     ("latency_ttfa", "bench/latency_ttfa.py", [], []),
     # Pooled streaming (VERDICT r2 #2): staggered streams share the pool.

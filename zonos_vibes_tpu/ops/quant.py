@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 def quantize_weight(w: jnp.ndarray, bits: int = 8,
                     group_size: int | None = None,
-                    clip_search: bool = False) -> dict:
+                    clip_search: bool = False,
+                    fake: bool = False) -> dict:
     """``[..., in, out]`` float -> int8/int4 + per-out-channel scale (fp32).
     Leading axes (e.g. the stacked-layer axis) are preserved. Quantization
     math runs HOST-side (numpy): it is one-time load work, and doing it on
@@ -77,6 +78,18 @@ def quantize_weight(w: jnp.ndarray, bits: int = 8,
             q = np.where(better, q_c, q)
             scale = np.where(better, s_c, scale)
             err = np.minimum(err, err_c)
+    if fake:
+        # Quantize->dequantize entirely HOST-side: bit-identical math to
+        # the packed path (the fused kernel converts the int operand to
+        # the activation dtype before the dot), but no s4/int8 device
+        # arrays — the quality gate uses this to measure quantization
+        # noise without exercising the remote-TPU s4 layout machinery
+        # (whose relayout device_put recurses when a program's chosen
+        # input layout differs from the creation-pinned one).
+        deq = (q.astype(np.float32) * scale)
+        if grouped:
+            deq = deq.reshape(*deq.shape[:-3], -1, deq.shape[-1])
+        return {"weight": jnp.asarray(deq, w.dtype)}
     if bits == 4:
         return {"weight_int4": _to_device_int4(q), "scale": jnp.asarray(scale)}
     return {"weight_int8": jnp.asarray(q), "scale": jnp.asarray(scale)}
@@ -149,7 +162,8 @@ _MLP_KEYS = ("fc1", "fc2")
 
 def quantize_backbone_params(backbone_params: dict, bits: int = 8,
                              mlp_bits: int | None = None,
-                             int4_group: int | None = 128) -> dict:
+                             int4_group: int | None = 128,
+                             fake: bool = False) -> dict:
     """Quantize the transformer backbone's projection weights in place-like
     fashion (returns a new tree; norms/embeddings untouched). Works on the
     stacked-layer tree (models/backbone.init_transformer_backbone) and the
@@ -172,7 +186,7 @@ def quantize_backbone_params(backbone_params: dict, bits: int = 8,
                 out[k] = quantize_weight(
                     layer[k]["weight"], bits=b,
                     group_size=int4_group if b == 4 else None,
-                    clip_search=b == 4)
+                    clip_search=b == 4, fake=fake)
         return out
 
     out = dict(backbone_params)
@@ -187,7 +201,8 @@ def quantize_backbone_params(backbone_params: dict, bits: int = 8,
 def quantize_zonos_params(params: dict, heads: bool = True,
                           embeddings: bool = False, bits: int = 8,
                           mlp_bits: int | None = None,
-                          int4_group: int | None = 128) -> dict:
+                          int4_group: int | None = 128,
+                          fake: bool = False) -> dict:
     """Full-model variant: backbone projections int8 (or int4/mixed via
     ``bits``/``mlp_bits``); conditioners stay bf16 (negligible bytes).
     Heads/embeddings never drop below int8 (logit-sensitive).
@@ -203,9 +218,9 @@ def quantize_zonos_params(params: dict, heads: bool = True,
     out = dict(params)
     out["backbone"] = quantize_backbone_params(
         params["backbone"], bits=bits, mlp_bits=mlp_bits,
-        int4_group=int4_group)
+        int4_group=int4_group, fake=fake)
     if heads and "weight" in params["heads"]:
-        out["heads"] = quantize_weight(params["heads"]["weight"])
+        out["heads"] = quantize_weight(params["heads"]["weight"], fake=fake)
     if embeddings and "weight" in params["embeddings"]:
         w = params["embeddings"]["weight"]  # [K, V, D]
         q = quantize_weight(w)  # scale [K, 1, D] (per-channel over V rows)
