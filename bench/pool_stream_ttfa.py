@@ -59,14 +59,17 @@ def main() -> None:
     pipe = ZonosPipeline.from_config(ZONOS_V01_TRANSFORMER)
     if INT8:
         pipe = pipe.quantize_int8()
-    # Latency-tuned serving config: 24-step segments emit the first chunk
-    # one short segment after a row joins, and margin 16 covers the
-    # 44.1 kHz DAC decoder's ~9-frame half receptive field with slack
-    # (chunks stay sample-exact vs one-shot; TTSServer stream_margin doc).
+    # Latency-tuned serving config: margin 12 covers the 44.1 kHz DAC
+    # decoder's measured 9.02-frame half receptive field (pinned < 12 by
+    # tests/test_dac.py — chunks stay sample-exact vs one-shot), and a
+    # 24-step segment then emits a row's FIRST chunk at the end of its
+    # first segment (join step ~2 + 24 steps -> valid 16 > margin; at
+    # margin 16 the first segment yielded stable = 0 and TTFA paid a
+    # whole extra segment).
     srv = TTSServer(pipe, host="127.0.0.1", port=PORT,
                     request_timeout_s=1800, pooled=True,
                     pool_slots=max(4, N), segment_steps=24,
-                    stream_margin=16)
+                    stream_margin=12)
     srv.start_background()
     try:
         stream_ttfa(0)  # warmup: compiles prefill/pooled-step/vocoder

@@ -79,8 +79,8 @@ def test_roundtrip_shapes(pair):
 
 def test_flagship_decoder_half_receptive_field_within_stream_margin():
     """The latency-tuned serving config (bench/pool_stream_ttfa.py:
-    stream_margin=16) relies on the 44.1 kHz decoder's half receptive
-    field being < 16 code frames — measure it empirically (perturb one
+    stream_margin=12) relies on the 44.1 kHz decoder's half receptive
+    field being < 12 code frames — measure it empirically (perturb one
     frame, diff the waveforms) so a decoder-topology change that widens
     the RF fails here instead of silently degrading streamed chunks."""
     import jax
@@ -101,5 +101,5 @@ def test_flagship_decoder_half_receptive_field_within_stream_margin():
     hop = cfg.hop_length
     left = (mid * hop - idx.min()) / hop
     right = (idx.max() - (mid + 1) * hop) / hop
-    assert max(left, right) < 16, (left, right)
-    # Measured 9.02 frames each side (round 4); 16 leaves ~77% slack.
+    assert max(left, right) < 12, (left, right)
+    # Measured 9.02 frames each side (round 4); 12 leaves ~33% slack.

@@ -841,3 +841,20 @@ def test_pooled_server_quantized_bf16_pipeline_admits():
     pool = plib.join(job.pool, state, 0, cond.shape[1], 7, knobs)
     stepped = plib.pool_steps_jit(p.model, p.params, pool, jax.random.key(1), 6)
     assert stepped["pos"].shape[0] == 2  # both slots advanced the program
+
+
+def test_stream_margin_validation(pipe):
+    """ADVICE r4 (medium): a pooled server whose stream_margin leaves the
+    fixed vocoder window no emit capacity must be rejected at construction
+    — at runtime it would spin the single scheduler thread forever."""
+    import pytest
+
+    from zonos_vibes_tpu.serve.server import _PoolJob
+
+    for bad in (0, -3, _PoolJob.VOCODE_WIN // 2, _PoolJob.VOCODE_WIN):
+        with pytest.raises(ValueError, match="stream_margin"):
+            TTSServer(pipe, port=5083, pooled=True, stream_margin=bad)
+    # Legal margins construct fine; non-pooled servers skip the window
+    # check entirely (solo streaming has no fixed-window constraint).
+    TTSServer(pipe, port=5083, pooled=True, stream_margin=12)
+    TTSServer(pipe, port=5083, pooled=False, stream_margin=200)

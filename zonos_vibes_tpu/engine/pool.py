@@ -556,3 +556,84 @@ def extract_row(model: ZonosModel, pool: dict, slot: int):
 
 def release_row(pool: dict, slot: int) -> dict:
     return {**pool, "active": pool["active"].at[slot].set(False)}
+
+
+def make_pool_emit(model: ZonosModel, dac_model, margin: int,
+                   vocode_win: int):
+    """Build the per-segment streaming-emit function: ONE device program
+    that, for every pool row, computes the row's newly-stable span, vocodes
+    a fixed ``vocode_win``-frame window around it through the DAC decoder,
+    and returns ready-to-ship int16 PCM plus the segment's bookkeeping
+    counters — so the scheduler's post-segment barrier is ONE
+    ``jax.device_get`` total. The previous shape (one barrier fetch + one
+    vocoder dispatch + one fetch PER streaming row) paid a full remote-TPU
+    tunnel roundtrip (~0.1-0.15 s) per stream per segment — the dominant
+    term of the round-4 pooled-TTFA budget (VERDICT r4 #1).
+
+    Window semantics match ``_PoolJob._vocode_span`` exactly: emit
+    ``[emitted, e)`` where ``e = min(stable, emitted + emit_cap)``, vocoded
+    with >= ``margin`` frames of true context on both sides inside a
+    fixed, right-zero-padded window (sample-exact vs the one-shot decode
+    away from the final margin; the DAC half receptive field is pinned
+    < margin by tests/test_dac.py). ``stable`` withholds ``margin`` frames
+    until the row's EOS cascade completes (``done``), when it flushes to
+    ``valid``; a final span longer than ``emit_cap`` leaves a remainder the
+    caller finishes via the host fallback path.
+
+    Returns a function ``emit(dac_params, pool, emitted, mnt_cap) ->
+    dict`` (jit it once per pool job); ``emitted``/``mnt_cap`` are ``[S]``
+    int32 (frames already shipped / per-row frame budget)."""
+    K = model.config.num_codebooks
+    hop = dac_model.config.hop_length
+    emit_cap = vocode_win - 2 * margin
+    assert emit_cap >= 8, (margin, vocode_win)
+    cap_samples = emit_cap * hop
+
+    def emit(dac_params: dict, pool: dict, emitted, mnt_cap) -> dict:
+        step, stop = pool["step"], pool["stop_offset"]
+        # finalize_extract math, traced (step is the NEXT write column).
+        valid = jnp.maximum(step - 1 - K, 0)
+        valid = jnp.where(
+            stop >= 0, jnp.minimum(valid, jnp.maximum(stop - 1, 0)), valid
+        )
+        valid = jnp.minimum(valid, mnt_cap)
+        done = pool["active"] & (pool["remaining"] <= 0)
+        stable = jnp.where(done, valid, jnp.maximum(valid - margin, 0))
+        e = jnp.clip(stable, emitted, emitted + emit_cap)
+        c1 = jnp.minimum(valid, e + margin)
+        c0 = jnp.maximum(c1 - vocode_win, 0)
+
+        codes = revert_delay_pattern(pool["delayed"])  # [S, K, Trev]
+        codes = jnp.where(codes >= model.config.codebook_size, 0, codes)
+        w = jnp.arange(vocode_win, dtype=jnp.int32)
+        tidx = c0[:, None, None] + w[None, None, :]
+        win = jnp.take_along_axis(
+            codes,
+            jnp.broadcast_to(
+                jnp.minimum(tidx, codes.shape[-1] - 1),
+                (codes.shape[0], K, vocode_win),
+            ),
+            axis=2,
+        )
+        win = jnp.where(
+            w[None, None, :] < (c1 - c0)[:, None, None], win, 0
+        )
+        wav = dac_model.decode(dac_params, win)[:, 0, :]  # [S, W*hop]
+        pcm = (jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+        # Shift each row so its chunk starts at sample 0 (fixed-size
+        # return; the host slices take_frames*hop bytes).
+        off = (emitted - c0) * hop
+        pcm = jnp.concatenate(
+            [pcm, jnp.zeros((pcm.shape[0], cap_samples), jnp.int16)], axis=1
+        )
+        sidx = off[:, None] + jnp.arange(cap_samples, dtype=jnp.int32)[None, :]
+        pcm = jnp.take_along_axis(pcm, sidx, axis=1)
+        return {
+            "active": pool["active"],
+            "remaining": pool["remaining"],
+            "valid": valid,
+            "new_emitted": e,
+            "pcm": pcm,  # [S, emit_cap*hop] int16, chunk-aligned
+        }
+
+    return emit

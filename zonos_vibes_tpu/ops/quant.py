@@ -79,13 +79,15 @@ def quantize_weight(w: jnp.ndarray, bits: int = 8,
             scale = np.where(better, s_c, scale)
             err = np.minimum(err, err_c)
     if fake:
-        # Quantize->dequantize entirely HOST-side: bit-identical math to
-        # the packed path (the fused kernel converts the int operand to
-        # the activation dtype before the dot), but no s4/int8 device
-        # arrays — the quality gate uses this to measure quantization
-        # noise without exercising the remote-TPU s4 layout machinery
-        # (whose relayout device_put recurses when a program's chosen
-        # input layout differs from the creation-pinned one).
+        # Quantize->dequantize entirely HOST-side: numerically equivalent
+        # to the packed path up to ONE extra bf16 rounding of each q*scale
+        # product (the deployed kernel converts the small-int q exactly
+        # and applies the scale post-dot in fp32; here the dequantized
+        # weight is stored in the weight dtype). No s4/int8 device arrays
+        # — the quality gate uses this to measure quantization noise
+        # without exercising the remote-TPU s4 layout machinery (whose
+        # relayout device_put recurses when a program's chosen input
+        # layout differs from the creation-pinned one).
         deq = (q.astype(np.float32) * scale)
         if grouped:
             deq = deq.reshape(*deq.shape[:-3], -1, deq.shape[-1])
@@ -130,6 +132,22 @@ def _to_device_int4(q_int8) -> jnp.ndarray:
                 stacklevel=2)
         conv = jax.jit(lambda z: z.astype(jnp.int4))
     return conv(q)
+
+
+def widen_device_int4(v: jnp.ndarray) -> jnp.ndarray:
+    """Device ``s4`` array -> device int8 array, with the widening
+    program's INPUT format pinned (AOT, mirroring ``_s4_format``) to the
+    packed s4 layout the array was created with. A plain jitted
+    ``v.astype(int8)`` is a NEW consuming program whose input-layout
+    assignment may differ from the creation-pinned layout — exactly the
+    axon relayout device_put recursion (ADVICE r4: saving grouped-int4
+    param caches hung over the remote-TPU tunnel)."""
+    try:
+        fmt = _s4_format(tuple(v.shape))
+        conv = jax.jit(lambda z: z.astype(jnp.int8), in_shardings=fmt)
+    except Exception:  # noqa: BLE001 — CPU/backends without layout AOT
+        conv = jax.jit(lambda z: z.astype(jnp.int8))
+    return conv(v)
 
 
 def proj_matmul(x: jnp.ndarray, p: dict) -> jnp.ndarray:

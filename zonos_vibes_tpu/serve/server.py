@@ -208,6 +208,26 @@ class TTSServer:
         # hybrid pooled step at 8-16 rows (engine/pool.make_pool).
         self.pool_state_bf16 = pool_state_bf16
         self.stream_margin = int(stream_margin)
+        if pooled:
+            # Guard the pooled vocoder's fixed-window invariants (ADVICE r4):
+            # emit_cap = VOCODE_WIN - 2*margin must stay positive or
+            # _PoolJob._vocode_span never advances and the single scheduler
+            # thread spins forever, stalling ALL pooled serving. Require at
+            # least one 8-frame step of progress per window. The LOWER bound
+            # (margin >= the DAC decoder's half receptive field in code
+            # frames, ~9 for the 44.1 kHz topology — empirically pinned in
+            # tests/test_dac.py) is a sample-exactness contract the server
+            # cannot check without running the decoder; it is asserted by
+            # the pin test instead.
+            emit_cap = _PoolJob.VOCODE_WIN - 2 * self.stream_margin
+            if self.stream_margin <= 0 or emit_cap < 8:
+                raise ValueError(
+                    f"stream_margin={self.stream_margin} breaks pooled "
+                    f"streaming: need 0 < margin <= "
+                    f"{(_PoolJob.VOCODE_WIN - 8) // 2} so each "
+                    f"{_PoolJob.VOCODE_WIN}-frame vocoder window emits "
+                    f">= 8 frames (emit_cap={emit_cap})"
+                )
         self._pool_jobs: dict = {}  # model name -> lazy _PoolJob
         self.queue: "queue.Queue[_Request]" = queue.Queue()
         self.metrics = Metrics()
@@ -315,10 +335,18 @@ class TTSServer:
                 return 400, "application/json", json.dumps(
                     {"error": "Invalid speaker_audio (expect base64 WAV)"}
                 ).encode()
-        elif not p.get("allow_unconditional_speaker", True) or "emotion" not in p:
+        elif not p.get(
+            "allow_unconditional_speaker",
+            # UI payloads may omit the speaker (the learned uncond speaker
+            # vector serves). Keyed on the explicit ``ui`` marker the web
+            # UI always sends (ADVICE r4: gating ``emotion`` out of the
+            # payload for emotion-less models must not re-require a
+            # speaker); ``emotion`` presence stays a legacy marker for
+            # pre-marker clients.
+            bool(p.get("ui")) or "emotion" in p,
+        ):
             # Bare reference-contract request without a speaker -> 400, same
-            # as the reference (server.py:66-70). UI payloads (which carry
-            # emotion) may omit the speaker.
+            # as the reference (server.py:66-70).
             return 400, "application/json", json.dumps(
                 {"error": "Missing required field: speaker_audio_path"}
             ).encode()
@@ -1114,6 +1142,7 @@ class _PoolJob:
         self.base_key = jax.random.key(srv.seed)
         self.rows: dict[int, tuple] = {}  # slot -> (req, parsed, t0)
         self.scheduled = False
+        self._emit_fn = None  # lazy jitted make_pool_emit program
 
     def _fresh_pool(self):
         # Cache dtype follows the ACTIVATION dtype (bf16 for real
@@ -1135,13 +1164,17 @@ class _PoolJob:
         )
         if slot is None:
             return False
+        t0 = time.monotonic()
+        queue_wait = t0 - req.enqueued_at
         pipe = self.pipe
         cd = pipe.make_cond_dict(**r["cond_kwargs"])
         pad_len = self.srv._cond_bucket(int(cd["espeak"].shape[1]))
         if pad_len > self.pc.max_cond_len:
             return False  # longer than the pool geometry -> job path
         cond = pipe.merge_cond_dicts([cd], pad_len=pad_len)
+        t1 = time.monotonic()
         prefix_cond = pipe.prepare_conditioning(cond)
+        t2 = time.monotonic()
         self.srv._req_counter += 1
         key = jax.random.fold_in(
             jax.random.key(r["seed"]), self.srv._req_counter
@@ -1158,14 +1191,28 @@ class _PoolJob:
             kv_int8=self.kv_int8, state_bf16=self.state_bf16,
             audio_prefix_codes=prefix,
         )
+        t3 = time.monotonic()
         row_seed = (r["seed"] * 1000003 + self.srv._req_counter) % (2 ** 31)
         self.pool = self.plib.join(
             self.pool, req_state, slot, prefix_cond.shape[1], row_seed, knobs
         )
-        self.rows[slot] = {"req": req, "r": r, "t0": time.monotonic(),
+        t4 = time.monotonic()
+        self.rows[slot] = {"req": req, "r": r, "t0": t0,
                            "emitted": 0, "sent": 0}
         with self.srv.metrics.lock:
             self.srv.metrics.pool_admitted += 1
+        # TTFA budget instrumentation (VERDICT r4 #1): every admission
+        # phase is an ASYNC dispatch (no device_get) — nonzero times here
+        # are host work (phonemize) + per-program dispatch RPCs on the
+        # remote-TPU tunnel, not device compute.
+        tracing.log_event(
+            "pool_admit_budget", slot=slot,
+            queue_wait_ms=round(queue_wait * 1000, 1),
+            cond_ms=round((t1 - t0) * 1000, 1),
+            prep_dispatch_ms=round((t2 - t1) * 1000, 1),
+            prefill_dispatch_ms=round((t3 - t2) * 1000, 1),
+            join_dispatch_ms=round((t4 - t3) * 1000, 1),
+        )
         if not self.scheduled:
             jobs.append(self)
             self.scheduled = True
@@ -1219,9 +1266,12 @@ class _PoolJob:
         return out[0] if len(out) == 1 else np.concatenate(out)
 
     def _stream_progress(self, slot: int, final: bool, pre=None) -> None:
-        """Emit a streaming row's newly-final frames as a PCM chunk.
-        ``pre``: (codes, valid) prefetched by advance()'s batched barrier —
-        avoids a per-row device_get roundtrip per segment."""
+        """Emit a streaming row's newly-final frames as a PCM chunk (host
+        fallback path — steady-state emission rides the fused device emit
+        program in :meth:`advance`; this covers final spans longer than one
+        emit window). ``pre``: (codes, valid) prefetched by advance()'s
+        batched barrier; codes may be None when the caller knows no vocode
+        is needed (valid already emitted)."""
         row = self.rows[slot]
         req, r = row["req"], row["r"]
         codes, valid = (
@@ -1235,11 +1285,27 @@ class _PoolJob:
         valid = min(valid, r["max_new_tokens"] + prefix_frames)
         stable = valid if final else max(0, valid - self._margin)
         if stable > row["emitted"]:
+            if codes is None:  # pre carried only the counter
+                codes, _ = self.plib.extract_row(
+                    self.pipe.model, self.pool, slot
+                )
             pcm = self._vocode_span(codes, row["emitted"], stable, valid)
             data = (np.clip(pcm, -1.0, 1.0) * 32767.0).astype(np.int16)
             req.stream_q.put(data.tobytes())
             row["emitted"] = stable
             row["sent"] += pcm.shape[-1]
+
+    @property
+    def _emit(self):
+        """Jitted fused emit program (engine/pool.make_pool_emit),
+        compiled once per pool job (margin and window are fixed per
+        server)."""
+        if self._emit_fn is None:
+            self._emit_fn = jax.jit(self.plib.make_pool_emit(
+                self.pipe.model, self.pipe.dac.model, self._margin,
+                self.VOCODE_WIN,
+            ))
+        return self._emit_fn
 
     def advance(self) -> bool:
         t0 = time.monotonic()
@@ -1255,42 +1321,108 @@ class _PoolJob:
             self.pipe.model, self.pipe.params, self.pool, self.base_key,
             self.srv.segment_steps, sorted_sampler=needs_sort,
         )
-        # ONE host readback for the barrier, the finished-row check AND the
-        # streaming rows' code extracts — each separate device_get is a
-        # full host<->device roundtrip (~0.15 s on the remote-TPU tunnel),
-        # so per-row extract_row calls here would add ~0.15 s x streams to
-        # every segment (and block_until_ready is not a reliable barrier
-        # on the remote-TPU platform, CLAUDE.md).
-        fetch_slots = [
-            slot for slot, row in self.rows.items()
-            if not (row["req"].stream_q is not None
-                    and row["req"].cancelled.is_set())
-        ]  # every live row: streaming rows emit each segment, and any row
-        # may FINISH this segment (_finish_row consumes the same extract)
-        active, remaining, extracts = jax.device_get((
-            self.pool["active"], self.pool["remaining"],
-            {s: self.plib._extract_row_device(self.pipe.model, self.pool, s)
-             for s in fetch_slots},
-        ))
-        pre = {
-            s: self.plib.finalize_extract(self.pipe.model, *extracts[s])
-            for s in fetch_slots
-        }
-        with self.srv.metrics.lock:
-            self.srv.metrics.compute_seconds_total += time.monotonic() - t0
-        for slot in list(self.rows):
-            row = self.rows[slot]
-            streaming = row["req"].stream_q is not None
-            if streaming and row["req"].cancelled.is_set():
-                # Client went away: stop decoding this row, free the slot.
+        t_dispatch = time.monotonic() - t0
+        # Client-cancelled streaming rows free their slot before the
+        # barrier (never decode for a dead client).
+        stream_slots = []
+        for slot, row in list(self.rows.items()):
+            if row["req"].stream_q is None:
+                continue
+            if row["req"].cancelled.is_set():
                 self.rows.pop(slot)
                 self.pool = self.plib.release_row(self.pool, slot)
-                continue
-            done = active[slot] and remaining[slot] <= 0
-            if streaming and not done:
-                self._stream_progress(slot, final=False, pre=pre.get(slot))
-            if done:
-                self._finish_row(slot, pre=pre.get(slot))
+            else:
+                stream_slots.append(slot)
+        # ONE host readback per segment: when streaming rows exist, the
+        # fused emit program decodes every row's newly-stable span to
+        # ready-to-ship int16 PCM on device, so the barrier device_get
+        # carries chunks + counters together. The previous shape (barrier
+        # fetch + a vocoder dispatch + fetch per streaming row) paid a
+        # full tunnel roundtrip (~0.1-0.15 s) per stream per segment —
+        # the dominant term of the round-4 pooled-TTFA budget.
+        # (block_until_ready is not a reliable barrier on the remote-TPU
+        # platform, CLAUDE.md — device_get is.)
+        t1 = time.monotonic()
+        out = None
+        if stream_slots:
+            S = self.pc.slots
+            emitted = np.zeros((S,), np.int32)
+            mnt_cap = np.full((S,), self.pc.max_new_tokens, np.int32)
+            for slot, row in self.rows.items():
+                emitted[slot] = row["emitted"]
+                pf = (int(row["r"]["prefix_codes"].shape[-1])
+                      if row["r"]["prefix_codes"] is not None else 0)
+                mnt_cap[slot] = row["r"]["max_new_tokens"] + pf
+            out = jax.device_get(self._emit(
+                self.pipe.dac_params, self.pool,
+                jnp.asarray(emitted), jnp.asarray(mnt_cap),
+            ))
+            active, remaining = out["active"], out["remaining"]
+        else:
+            active, remaining = jax.device_get(
+                (self.pool["active"], self.pool["remaining"])
+            )
+        t_barrier = time.monotonic() - t1
+        with self.srv.metrics.lock:
+            self.srv.metrics.compute_seconds_total += time.monotonic() - t0
+
+        hop = self.pipe.dac.hop
+        now = time.monotonic()
+        for slot in stream_slots:
+            row = self.rows[slot]
+            take = int(out["new_emitted"][slot]) - row["emitted"]
+            if take > 0:
+                row["req"].stream_q.put(
+                    out["pcm"][slot, : take * hop].tobytes()
+                )
+                if not row.get("ttfa_logged"):
+                    row["ttfa_logged"] = True
+                    tracing.log_event(
+                        "pool_first_chunk", slot=slot,
+                        ttfa_s=round(now - row["req"].enqueued_at, 3),
+                        since_admit_s=round(now - row["t0"], 3),
+                    )
+                row["emitted"] += take
+                row["sent"] += take * hop
+
+        # Rows whose EOS cascade completed this segment. Full code grids
+        # are fetched in ONE extra device_get, only on segments where a
+        # row actually needs one (non-streaming finishes; streaming final
+        # spans longer than one emit window).
+        done_slots = [
+            s for s in list(self.rows) if active[s] and remaining[s] <= 0
+        ]
+        pre: dict = {}
+        need_grid = []
+        for s in done_slots:
+            streaming = self.rows[s]["req"].stream_q is not None
+            if (out is not None and streaming
+                    and self.rows[s]["emitted"] >= int(out["valid"][s])):
+                pre[s] = (None, int(out["valid"][s]))  # fully flushed
+            else:
+                need_grid.append(s)
+        if need_grid:
+            extracts = jax.device_get({
+                s: self.plib._extract_row_device(
+                    self.pipe.model, self.pool, s
+                )
+                for s in need_grid
+            })
+            pre.update({
+                s: self.plib.finalize_extract(self.pipe.model, *extracts[s])
+                for s in need_grid
+            })
+        for slot in done_slots:
+            self._finish_row(slot, pre=pre.get(slot))
+
+        tracing.log_event(
+            "pool_segment_budget",
+            dispatch_ms=round(t_dispatch * 1000, 1),
+            barrier_ms=round(t_barrier * 1000, 1),
+            host_ms=round((time.monotonic() - t1 - t_barrier) * 1000, 1),
+            streams=len(stream_slots), finished=len(done_slots),
+            rows=len(self.rows),
+        )
         if not self.rows:
             self.scheduled = False
             return True  # leave the job list until the next admit

@@ -157,6 +157,7 @@ async function generate() {
   } catch (e) {}
   startProgress(status, val("max_seconds") / rtf + 1);
   const payload = {
+    ui: true,  // speaker-less allowance marker (server._parse)
     model: document.getElementById("model").value,
     text: document.getElementById("text").value,
     language: document.getElementById("language").value,

@@ -292,7 +292,13 @@ def save_params_cache(path: str, params: dict) -> None:
     out = {}
     for k, v in flatten_pytree(params).items():
         if v.dtype == jnp.int4:
-            out[k + "@s4"] = np.asarray(jax.device_get(v.astype(jnp.int8)))
+            # Widen via an input-format-pinned program: an eager astype is
+            # a fresh consumer whose layout assignment may differ from the
+            # creation-pinned packed s4 layout (axon relayout recursion,
+            # ADVICE r4).
+            from ..ops.quant import widen_device_int4
+
+            out[k + "@s4"] = np.asarray(jax.device_get(widen_device_int4(v)))
             continue
         v = np.asarray(v)
         if v.dtype == jnp.bfloat16:
