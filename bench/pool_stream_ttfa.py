@@ -29,9 +29,13 @@ TEXT = "The quick brown fox jumps over the lazy dog, and keeps running."
 REFERENCE_TTFA_S = 2.5
 
 
-def stream_ttfa(seed: int) -> float:
+def stream_ttfa(seed: int, drain: bool = False) -> float:
     """POST a streaming request; wall seconds to the first PCM chunk byte
-    (after the WAV stream header, which the server writes eagerly)."""
+    (after the WAV stream header, which the server writes eagerly).
+    ``drain``: read the stream to completion instead of aborting — the
+    warmup pass uses this so the row-finish programs (final flush,
+    release) compile during warmup, not inside a measured stream's
+    scheduler slice."""
     body = json.dumps({
         "text": TEXT, "language": "en-us", "stream": True, "seed": seed,
         "max_new_tokens": 430, "sampling": {"min_p": 0.1},
@@ -45,13 +49,17 @@ def stream_ttfa(seed: int) -> float:
     assert resp.status == 200, resp.status
     hdr = len(wav_stream_header(44100))
     got = 0
+    el = None
     while got < hdr + 2:  # header + first PCM bytes
         data = resp.read(hdr + 2 - got)
         if not data:
             break
         got += len(data)
     el = time.perf_counter() - t0
-    conn.close()  # abort the rest of the stream
+    if drain:
+        while resp.read(65536):
+            pass
+    conn.close()  # abort whatever remains of the stream
     return el
 
 
@@ -72,7 +80,12 @@ def main() -> None:
                     stream_margin=12)
     srv.start_background()
     try:
-        stream_ttfa(0)  # warmup: compiles prefill/pooled-step/vocoder
+        # Warmup: compiles prefill / pooled step / fused emit AND (via
+        # drain) the row-finish + release programs; a second aborted
+        # stream covers the cancel->release path.
+        stream_ttfa(0, drain=True)
+        stream_ttfa(0)
+        time.sleep(2.0)  # let the aborted row's release land pre-measure
         ttfas = {}
 
         def run(i):

@@ -58,9 +58,21 @@ def greedy_codes(p):
 ref_codes = greedy_codes(params)
 
 for mode in modes:
+    # Mode grammar: "int8" | "int4full" | "int4" + optional suffixes
+    # "fc1" (fc2 stays int8) / "fc2" (fc1 stays int8) / "g64"|"g32"
+    # (scale-group size, default 128) / "gptq" (fc2 error compensation,
+    # VERDICT r4 #2). E.g. int4fc1g64, int4gptq, int4g64gptq.
     bits = 4 if mode == "int4full" else 8
     mlp_bits = 4 if mode.startswith("int4") else None
-    qp = quantize_zonos_params(params, bits=bits, mlp_bits=mlp_bits, fake=True)
+    fc2_bits = None
+    if "fc1" in mode:
+        mlp_bits, fc2_bits = 4, 8
+    elif "fc2" in mode:
+        mlp_bits, fc2_bits = 8, 4
+    group = 64 if "g64" in mode else (32 if "g32" in mode else 128)
+    qp = quantize_zonos_params(
+        params, bits=bits, mlp_bits=mlp_bits, fake=True,
+        int4_group=group, fc2_bits=fc2_bits, gptq="gptq" in mode)
     # fake=True: quantize->dequantize host-side — identical math to the
     # packed path, but no s4 device arrays (the teacher-forced program
     # chose a different s4 input layout than the creation-pinned one and

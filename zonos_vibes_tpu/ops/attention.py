@@ -42,6 +42,88 @@ def _decode_block_ok(T: int) -> bool:
 _PALLAS_PREFILL = os.environ.get("ZVT_PALLAS_PREFILL", "auto")
 _PALLAS_PREFILL_MIN_S = 512
 
+# Short-cache decode dispatch (VERDICT r4 #5): below this cache length the
+# layered Pallas custom-call's per-call fixed cost (~5 µs/layer spin-up
+# measured in the round-4 trace vs ~1.2 µs of actual KV bytes at T≈512)
+# dominates, so a fused pure-XLA attention over (flushed prefix ‖ stage ‖
+# current) — same bytes, no custom-call entry/exit, scheduled inside the
+# step program — takes over. 0 disables.
+_DECODE_SHORT_T = int(os.environ.get("ZVT_DECODE_SHORT_T", "640"))
+
+
+def _decode_layered_xla_short(
+    q, kc, vc, ksc, vsc, k_stage, v_stage, k_cur, v_cur,
+    flushed_end, stage_len, layer,
+):
+    """Fused short-cache decode attention, one layer picked by a traced
+    index. Semantics identical to the layered Pallas kernels
+    (ops/pallas/decode_attention.py): softmax over the concatenation of
+    the flushed prefix (masked to ``flushed_end``; int8 dequant rides
+    POST-dot — per-token scales commute with the D-contraction), the
+    exact time-major stage tail (masked to ``stage_len``) and the current
+    token. No slab splice, no materialized dequant copy: every piece is
+    an operand of its own dot, so XLA fuses the int8/bf16 cache reads
+    directly into the score/value contractions."""
+    B, S, Hq, D = q.shape
+    L, _, Hkv, _, T = kc.shape
+    G = Hq // Hkv
+    STAGE = k_stage.shape[2]
+    qg = q.reshape(B, Hkv, G, D).astype(jnp.float32) * (D ** -0.5)
+
+    kc_l = jax.lax.dynamic_index_in_dim(kc, layer, 0, keepdims=False)
+    vc_l = jax.lax.dynamic_index_in_dim(vc, layer, 0, keepdims=False)
+    sc_pre = jnp.einsum(
+        "bkgd,bkdt->bkgt", qg, kc_l.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    if ksc is not None:
+        ks_l = jax.lax.dynamic_index_in_dim(ksc, layer, 0, keepdims=False)
+        sc_pre = sc_pre * ks_l[:, :, None, :]
+    t_idx = jnp.arange(T, dtype=jnp.int32)[None, None, None, :]
+    sc_pre = jnp.where(
+        t_idx < jnp.asarray(flushed_end, jnp.int32), sc_pre, NEG_INF
+    )
+
+    ks_st = jax.lax.dynamic_index_in_dim(
+        k_stage, layer, 0, keepdims=False
+    ).reshape(B, STAGE, Hkv, D)
+    vs_st = jax.lax.dynamic_index_in_dim(
+        v_stage, layer, 0, keepdims=False
+    ).reshape(B, STAGE, Hkv, D)
+    sc_st = jnp.einsum(
+        "bkgd,bskd->bkgs", qg, ks_st.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    s_idx = jnp.arange(STAGE, dtype=jnp.int32)[None, None, None, :]
+    sc_st = jnp.where(
+        s_idx < jnp.asarray(stage_len, jnp.int32), sc_st, NEG_INF
+    )
+
+    sc_cur = jnp.einsum(
+        "bkgd,bkd->bkg", qg, k_cur[..., 0].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )[..., None]
+
+    probs = jax.nn.softmax(
+        jnp.concatenate([sc_pre, sc_st, sc_cur], axis=-1), axis=-1
+    )
+    p_pre, p_st, p_cur = (
+        probs[..., :T], probs[..., T: T + STAGE], probs[..., T + STAGE:]
+    )
+    if vsc is not None:
+        vs_l = jax.lax.dynamic_index_in_dim(vsc, layer, 0, keepdims=False)
+        p_pre = p_pre * vs_l[:, :, None, :]
+    out = jnp.einsum(
+        "bkgt,bkdt->bkgd", p_pre, vc_l.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    out = out + jnp.einsum(
+        "bkgs,bskd->bkgd", p_st, vs_st.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    out = out + p_cur * v_cur[..., 0].astype(jnp.float32)[:, :, None, :]
+    return out.reshape(B, 1, Hq, D).astype(q.dtype)
+
 
 def update_kv_cache(
     k_cache: jnp.ndarray,
@@ -218,6 +300,11 @@ def decode_attention_layered_auto(
     dense attention over the combined valid prefix."""
     B, S, Hq, D = q.shape
     L, _, Hkv, _, T = k_cache.shape
+    if S == 1 and Hq % Hkv == 0 and 0 < T <= _DECODE_SHORT_T:
+        return _decode_layered_xla_short(
+            q, k_cache, v_cache, None, None, k_stage, v_stage,
+            k_cur, v_cur, flushed_end, stage_len, layer,
+        )
     ok = (
         _PALLAS_DECODE != "0"
         and S == 1
@@ -285,6 +372,11 @@ def decode_attention_layered_q_auto(
     bf16 layered semantics."""
     B, S, Hq, D = q.shape
     L, _, Hkv, _, T = k_cache.shape
+    if S == 1 and Hq % Hkv == 0 and 0 < T <= _DECODE_SHORT_T:
+        return _decode_layered_xla_short(
+            q, k_cache, v_cache, k_scale, v_scale, k_stage, v_stage,
+            k_cur, v_cur, flushed_end, stage_len, layer,
+        )
     ok = (
         _PALLAS_DECODE != "0"
         and S == 1

@@ -26,10 +26,101 @@ import jax
 import jax.numpy as jnp
 
 
+def _gptq_compensate(w32, H, qmax: float, group_size: int,
+                     clip_search: bool):
+    """GPTQ-style sequential error compensation (VERDICT r4 #2) for ONE
+    ``[in, out]`` fp32 weight: quantize contraction rows in order and fold
+    each row's rounding error into the not-yet-quantized rows, weighted by
+    the inverse-Hessian Cholesky (Frantar et al. 2022, the standard
+    published recipe — re-derived here in numpy, blocked per scale group).
+    ``H ~ E[x xᵀ]`` over the projection's input distribution. Group scales
+    are computed at group ENTRY from the error-compensated residual rows
+    (with the same per-column MSE clip search as the RTN path), so the
+    grouped-matmul layout/scales contract is unchanged.
+
+    Returns ``(q int8 [in, out], scale fp32 [G, out])`` with ``G = in /
+    group_size``. Error for a gaussian-iid row layout equals plain RTN
+    when ``H = I``; gains come from non-isotropic inputs (the gated-MLP
+    fc2 input is strongly non-isotropic even at random init; real
+    checkpoints more so)."""
+    import numpy as np
+
+    in_dim, out = w32.shape
+    assert in_dim % group_size == 0
+    w = w32.astype(np.float32).copy()
+    damp = 0.05 * float(np.mean(np.diag(H))) + 1e-8
+    Hd = H.astype(np.float64) + np.eye(in_dim) * damp
+    Hinv = np.linalg.inv(Hd)
+    # Upper-triangular U with Uᵀ U = H⁻¹ (torch.linalg.cholesky(·,
+    # upper=True) in the reference recipe == lower-chol transposed).
+    U = np.linalg.cholesky(Hinv).T.astype(np.float32)
+    q = np.zeros((in_dim, out), np.int8)
+    scales = np.zeros((in_dim // group_size, out), np.float32)
+    clips = (1.0, 0.95, 0.9, 0.85, 0.8, 0.75, 0.7, 0.65) if clip_search \
+        else (1.0,)
+    for g0 in range(0, in_dim, group_size):
+        g1 = g0 + group_size
+        blk = w[g0:g1]
+        absmax = np.max(np.abs(blk), axis=0)  # [out]
+        best_s, best_err = None, None
+        for c in clips:
+            s = np.where(absmax > 0, absmax * c / qmax, 1.0)
+            qc = np.clip(np.round(blk / s), -qmax, qmax)
+            err = ((qc * s - blk) ** 2).sum(axis=0)
+            if best_err is None:
+                best_s, best_err = s, err
+            else:
+                better = err < best_err
+                best_s = np.where(better, s, best_s)
+                best_err = np.minimum(best_err, err)
+        s = best_s.astype(np.float32)
+        scales[g0 // group_size] = s
+        errs = np.zeros((group_size, out), np.float32)
+        for i in range(g0, g1):
+            d = U[i, i]
+            qi = np.clip(np.round(w[i] / s), -qmax, qmax)
+            q[i] = qi.astype(np.int8)
+            errs[i - g0] = (w[i] - qi * s) / d
+            if i + 1 < g1:  # in-group compensation, rank-1
+                w[i + 1: g1] -= np.outer(U[i, i + 1: g1], errs[i - g0])
+        if g1 < in_dim:  # cross-group compensation, one GEMM per group
+            w[g1:] -= U[g0:g1, g1:].T @ errs
+    return q, scales
+
+
+def fc2_hessian_mc(w1, n_samples: int = 3072, seed: int = 0):
+    """Monte-Carlo input Hessian ``H = E[h hᵀ]`` for a gated-MLP second
+    projection: sample the fc1 input as iid standard normal (the LayerNorm
+    output proxy — unit per-channel variance), push it through fc1 +
+    the SiLU gate (ops/mlp.swiglu semantics: ``h = y * silu(gate)``), and
+    accumulate ``hᵀh / n``. Even at random init H is strongly
+    non-isotropic (per-channel energies vary with fc1 column norms and the
+    gate's nonlinearity), which is what GPTQ compensation exploits.
+    ``w1``: fp32/bf16 host ``[d_model, 2*d_ff]``."""
+    import numpy as np
+
+    w1 = np.asarray(w1, np.float32)
+    d_ff = w1.shape[-1] // 2
+    H = np.zeros((d_ff, d_ff), np.float64)
+    rng = np.random.default_rng(seed)
+    chunk = 512
+    done = 0
+    while done < n_samples:
+        m = min(chunk, n_samples - done)
+        x = rng.standard_normal((m, w1.shape[0])).astype(np.float32)
+        z = x @ w1
+        y, g = z[:, :d_ff], z[:, d_ff:]
+        h = y * (g / (1.0 + np.exp(-g)))
+        H += (h.T @ h).astype(np.float64)
+        done += m
+    return (H / n_samples).astype(np.float32)
+
+
 def quantize_weight(w: jnp.ndarray, bits: int = 8,
                     group_size: int | None = None,
                     clip_search: bool = False,
-                    fake: bool = False) -> dict:
+                    fake: bool = False,
+                    gptq_h=None) -> dict:
     """``[..., in, out]`` float -> int8/int4 + per-out-channel scale (fp32).
     Leading axes (e.g. the stacked-layer axis) are preserved. Quantization
     math runs HOST-side (numpy): it is one-time load work, and doing it on
@@ -62,22 +153,39 @@ def quantize_weight(w: jnp.ndarray, bits: int = 8,
         bits == 4 and group_size is not None
         and w32.shape[-2] % group_size == 0 and w32.shape[-2] > group_size
     )
-    if grouped:
-        G = w32.shape[-2] // group_size
-        w32 = w32.reshape(*w32.shape[:-2], G, group_size, w32.shape[-1])
-    absmax = np.max(np.abs(w32), axis=-2, keepdims=True)  # [..., 1, out]
-    scale = np.where(absmax > 0, absmax / qmax, 1.0).astype(np.float32)
-    q = np.clip(np.round(w32 / scale), -qmax, qmax).astype(np.int8)
-    if clip_search:
-        err = ((q * scale - w32) ** 2).sum(axis=-2, keepdims=True)
-        for c in (0.95, 0.9, 0.85, 0.8, 0.75, 0.7, 0.65):
-            s_c = np.where(absmax > 0, absmax * c / qmax, 1.0).astype(np.float32)
-            q_c = np.clip(np.round(w32 / s_c), -qmax, qmax).astype(np.int8)
-            err_c = ((q_c * s_c - w32) ** 2).sum(axis=-2, keepdims=True)
-            better = err_c < err
-            q = np.where(better, q_c, q)
-            scale = np.where(better, s_c, scale)
-            err = np.minimum(err, err_c)
+    if gptq_h is not None and bits == 4 and grouped:
+        # Error-compensated path: per leading index (stacked layer), build
+        # the input Hessian lazily (``gptq_h(idx) -> [in, in]``; a 26-layer
+        # stack of 8k² Hessians would not fit in host RAM at once) and run
+        # the blocked GPTQ sweep.
+        lead = w32.shape[:-2]
+        in_dim, out = w32.shape[-2:]
+        G = in_dim // group_size
+        q = np.zeros(w32.shape, np.int8)
+        sc = np.zeros((*lead, G, out), np.float32)
+        for idx in (np.ndindex(*lead) if lead else [()]):
+            q[idx], sc[idx] = _gptq_compensate(
+                w32[idx], gptq_h(idx), qmax, group_size, clip_search
+            )
+        q = q.reshape(*lead, G, group_size, out)
+        scale = sc[..., :, None, :]  # [..., G, 1, out]
+    else:
+        if grouped:
+            G = w32.shape[-2] // group_size
+            w32 = w32.reshape(*w32.shape[:-2], G, group_size, w32.shape[-1])
+        absmax = np.max(np.abs(w32), axis=-2, keepdims=True)  # [..., 1, out]
+        scale = np.where(absmax > 0, absmax / qmax, 1.0).astype(np.float32)
+        q = np.clip(np.round(w32 / scale), -qmax, qmax).astype(np.int8)
+        if clip_search:
+            err = ((q * scale - w32) ** 2).sum(axis=-2, keepdims=True)
+            for c in (0.95, 0.9, 0.85, 0.8, 0.75, 0.7, 0.65):
+                s_c = np.where(absmax > 0, absmax * c / qmax, 1.0).astype(np.float32)
+                q_c = np.clip(np.round(w32 / s_c), -qmax, qmax).astype(np.int8)
+                err_c = ((q_c * s_c - w32) ** 2).sum(axis=-2, keepdims=True)
+                better = err_c < err
+                q = np.where(better, q_c, q)
+                scale = np.where(better, s_c, scale)
+                err = np.minimum(err, err_c)
     if fake:
         # Quantize->dequantize entirely HOST-side: numerically equivalent
         # to the packed path up to ONE extra bf16 rounding of each q*scale
@@ -181,7 +289,9 @@ _MLP_KEYS = ("fc1", "fc2")
 def quantize_backbone_params(backbone_params: dict, bits: int = 8,
                              mlp_bits: int | None = None,
                              int4_group: int | None = 128,
-                             fake: bool = False) -> dict:
+                             fake: bool = False,
+                             fc2_bits: int | None = None,
+                             gptq: bool = False) -> dict:
     """Quantize the transformer backbone's projection weights in place-like
     fashion (returns a new tree; norms/embeddings untouched). Works on the
     stacked-layer tree (models/backbone.init_transformer_backbone) and the
@@ -195,16 +305,40 @@ def quantize_backbone_params(backbone_params: dict, bits: int = 8,
     int4 projections use ``int4_group``-row sub-channel scale groups with
     per-column MSE clip search (VERDICT r3 #4) — ~24% lower weight RMS
     error than per-channel absmax on gaussian columns; contractions not
-    divisible by the group size fall back to per-channel (still clipped)."""
+    divisible by the group size fall back to per-channel (still clipped).
+
+    ``fc2_bits`` (default = MLP bits): fc2 gets its own width — the mixed
+    fc1-int4/fc2-int8 point trades ~1/3 of int4's MLP bandwidth win for a
+    large cut of its quantization noise. ``gptq``: int4 fc2 projections
+    run GPTQ sequential error compensation (VERDICT r4 #2) against a
+    Monte-Carlo input Hessian built per layer from that layer's own fc1 +
+    SiLU gate (:func:`fc2_hessian_mc`) — a one-time host-side cost of
+    ~0.5-1 min/layer at flagship scale. fc1's input is the LayerNorm
+    output (near-isotropic ⇒ H ≈ I, where GPTQ provably reduces to RTN),
+    so fc1 stays on the RTN+clip path."""
     def quantize_layer(layer: dict) -> dict:
         out = dict(layer)
         for k in _QUANT_KEYS:
             if k in layer and "weight" in layer[k]:
-                b = (mlp_bits or bits) if k in _MLP_KEYS else bits
+                if k == "fc2":
+                    b = fc2_bits or mlp_bits or bits
+                elif k in _MLP_KEYS:
+                    b = mlp_bits or bits
+                else:
+                    b = bits
+                h_fn = None
+                if (gptq and k == "fc2" and b == 4 and "fc1" in layer
+                        and "weight" in layer["fc1"]):
+                    import numpy as np
+
+                    w1_all = np.asarray(
+                        jax.device_get(layer["fc1"]["weight"]), np.float32
+                    )
+                    h_fn = lambda idx, _w1=w1_all: fc2_hessian_mc(_w1[idx])
                 out[k] = quantize_weight(
                     layer[k]["weight"], bits=b,
                     group_size=int4_group if b == 4 else None,
-                    clip_search=b == 4, fake=fake)
+                    clip_search=b == 4, fake=fake, gptq_h=h_fn)
         return out
 
     out = dict(backbone_params)
@@ -220,7 +354,9 @@ def quantize_zonos_params(params: dict, heads: bool = True,
                           embeddings: bool = False, bits: int = 8,
                           mlp_bits: int | None = None,
                           int4_group: int | None = 128,
-                          fake: bool = False) -> dict:
+                          fake: bool = False,
+                          fc2_bits: int | None = None,
+                          gptq: bool = False) -> dict:
     """Full-model variant: backbone projections int8 (or int4/mixed via
     ``bits``/``mlp_bits``); conditioners stay bf16 (negligible bytes).
     Heads/embeddings never drop below int8 (logit-sensitive).
@@ -236,7 +372,7 @@ def quantize_zonos_params(params: dict, heads: bool = True,
     out = dict(params)
     out["backbone"] = quantize_backbone_params(
         params["backbone"], bits=bits, mlp_bits=mlp_bits,
-        int4_group=int4_group, fake=fake)
+        int4_group=int4_group, fake=fake, fc2_bits=fc2_bits, gptq=gptq)
     if heads and "weight" in params["heads"]:
         out["heads"] = quantize_weight(params["heads"]["weight"], fake=fake)
     if embeddings and "weight" in params["embeddings"]:
