@@ -44,8 +44,11 @@ RUN pip install --no-cache-dir ".[frontend]"
 # real-lib golden test is skip-marked in espeak-less dev environments but
 # MUST run (not skip) here, failing the build on phoneme drift.
 COPY tests ./tests
+COPY tools ./tools
 RUN pip install --no-cache-dir pytest \
     && python -m pytest tests/test_phonemize_espeak.py -q \
+    && python tools/capture_phoneme_fixture.py \
+    && python -m pytest tests/test_phonemize_espeak.py -q -k cross_tier \
     && python - <<'PY'
 # The real-lib golden above is skip-marked when libespeak-ng is absent —
 # pytest exits 0 on skips, so enforce loadability EXPLICITLY: the ctypes

@@ -213,3 +213,59 @@ def test_ctypes_tier_punctuation_preserved_and_tokenizable():
     for mark in ",.!":
         assert SYMBOL_TO_ID[mark] != unk
         assert SYMBOL_TO_ID[mark] in list(ids[0])
+
+
+# -- cross-tier fixture (VERDICT r4 #7) -------------------------------------
+# tools/capture_phoneme_fixture.py, run on any espeak-capable machine (the
+# Docker image build runs it, failing the build on tier drift), writes a
+# package-tier golden the ctypes tier is diffed against — including in
+# espeak-less dev environments once the fixture is committed.
+
+_FIXTURE_PATH = __file__.rsplit("/", 1)[0] + "/data/phoneme_fixture_espeak.json"
+
+
+def _load_fixture():
+    import json
+    import os
+
+    if not os.path.exists(_FIXTURE_PATH):
+        pytest.skip("phoneme fixture not captured yet "
+                    "(tools/capture_phoneme_fixture.py on an espeak machine)")
+    with open(_FIXTURE_PATH) as f:
+        return json.load(f)
+
+
+def test_cross_tier_fixture_agreement():
+    fx = _load_fixture()
+    assert fx["entries"], "empty fixture"
+    squeeze = lambda s: s.replace(" ", "")
+    for e in fx["entries"]:
+        assert "DRIFT" not in e, e  # capture-time tier disagreement
+        if "package" in e:
+            assert squeeze(e["ctypes"]) == squeeze(e["package"]), e
+    # The in-repo recorded corpus must match the real capture wherever the
+    # same (voice, chunk) appears — guards the recordings against drift.
+    for e in fx["entries"]:
+        voice = e["language"].encode()
+        table = MULTILINGUAL_RECORDED.get(voice, {})
+        for chunk, want_ipa in table.items():
+            if chunk in e["text"].lower():
+                assert want_ipa in e["ctypes"], (
+                    f"recorded corpus diverges from captured espeak for "
+                    f"{voice}/{chunk!r}: {want_ipa!r} not in {e['ctypes']!r}"
+                )
+
+
+@pytest.mark.skipif(ph._find_espeak_lib() is None,
+                    reason="libespeak-ng not present in this image")
+def test_cross_tier_fixture_reproduces_here():
+    """On espeak-capable machines: the live ctypes tier must reproduce the
+    committed fixture exactly (same pinned espeak version => same IPA)."""
+    from zonos_vibes_tpu.frontend.text import clean
+
+    fx = _load_fixture()
+    lib = ph._find_espeak_lib()
+    for e in fx["entries"]:
+        cleaned = clean([e["text"]], [e["language"]])[0]
+        got = ph._espeak_phonemize_preserving(lib, cleaned, e["language"])
+        assert got == e["ctypes"], (e["language"], e["text"], got, e["ctypes"])

@@ -116,6 +116,15 @@ def ordinal_words(n: int) -> str:
 
 # ---------------------------------------------------------------------------
 # Normalization pipeline (conditioning.py:70-136 semantics)
+#
+# Lineage: the six regexes and the _expand_dollars/_expand_number branch
+# structure below are behavior-pinning constants matching the reference's
+# normalize-numbers block near-verbatim — which the reference itself
+# vendors from the MIT-licensed keithito/tacotron text cleaners (via the
+# VITS line). Bit-identical normalization is a parity requirement (any
+# drift changes the phoneme stream and everything downstream); the
+# number-to-words engine above replaces the reference's `inflect`
+# dependency and is original.
 # ---------------------------------------------------------------------------
 
 _comma_number_re = re.compile(r"([0-9][0-9\,]+[0-9])")
