@@ -42,13 +42,27 @@ def _decode_block_ok(T: int) -> bool:
 _PALLAS_PREFILL = os.environ.get("ZVT_PALLAS_PREFILL", "auto")
 _PALLAS_PREFILL_MIN_S = 512
 
-# Short-cache decode dispatch (VERDICT r4 #5): below this cache length the
-# layered Pallas custom-call's per-call fixed cost (~5 µs/layer spin-up
-# measured in the round-4 trace vs ~1.2 µs of actual KV bytes at T≈512)
-# dominates, so a fused pure-XLA attention over (flushed prefix ‖ stage ‖
-# current) — same bytes, no custom-call entry/exit, scheduled inside the
-# step program — takes over. 0 disables.
-_DECODE_SHORT_T = int(os.environ.get("ZVT_DECODE_SHORT_T", "640"))
+# Short-cache decode dispatch (VERDICT r4 #5) — MEASURED NEGATIVE RESULT
+# (round 5, docs/KERNELS.md): the hypothesis was that below some cache
+# length the layered Pallas custom-call's ~5 µs/layer fixed cost (144
+# µs/step at 26 layers, round-4/5 traces) dominates and a fused pure-XLA
+# attention over (flushed prefix ‖ stage ‖ current) would win by avoiding
+# custom-call entry/exit. A/B at 86 steps (T=168, int8): Pallas 2.752
+# ms/step vs XLA-short 2.799 ms/step — XLA's own handling of the
+# concat-softmax + per-segment dots costs ~190 µs/step, MORE than the
+# launch overhead it saves, and both costs are T-independent so the
+# verdict holds at any short cache. Default off; the path stays for
+# non-TPU backends (it IS the CPU-test fallback semantics) and as the
+# env-gated knob that produced the measurement.
+_DECODE_SHORT_T_ENV = os.environ.get("ZVT_DECODE_SHORT_T")
+
+
+def _decode_short_t() -> int:
+    # Deferred (not at import): jax.default_backend() initializes the
+    # platform, and test conftests switch it after package import.
+    if _DECODE_SHORT_T_ENV is not None:
+        return int(_DECODE_SHORT_T_ENV)
+    return 0 if jax.default_backend() == "tpu" else 640
 
 
 def _decode_layered_xla_short(
@@ -300,7 +314,7 @@ def decode_attention_layered_auto(
     dense attention over the combined valid prefix."""
     B, S, Hq, D = q.shape
     L, _, Hkv, _, T = k_cache.shape
-    if S == 1 and Hq % Hkv == 0 and 0 < T <= _DECODE_SHORT_T:
+    if S == 1 and Hq % Hkv == 0 and 0 < T <= _decode_short_t():
         return _decode_layered_xla_short(
             q, k_cache, v_cache, None, None, k_stage, v_stage,
             k_cur, v_cur, flushed_end, stage_len, layer,
@@ -372,7 +386,7 @@ def decode_attention_layered_q_auto(
     bf16 layered semantics."""
     B, S, Hq, D = q.shape
     L, _, Hkv, _, T = k_cache.shape
-    if S == 1 and Hq % Hkv == 0 and 0 < T <= _DECODE_SHORT_T:
+    if S == 1 and Hq % Hkv == 0 and 0 < T <= _decode_short_t():
         return _decode_layered_xla_short(
             q, k_cache, v_cache, k_scale, v_scale, k_stage, v_stage,
             k_cur, v_cur, flushed_end, stage_len, layer,

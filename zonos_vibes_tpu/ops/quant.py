@@ -258,6 +258,29 @@ def widen_device_int4(v: jnp.ndarray) -> jnp.ndarray:
     return conv(v)
 
 
+def _pin_s4_layout(wq: jnp.ndarray) -> jnp.ndarray:
+    """Constrain an s4 weight INSIDE the consuming program to its
+    creation-pinned packed layout (VERDICT r4 #4). Without this, each new
+    consumer (full-int4 decode step, the teacher-forced gate pass) runs
+    its own layout assignment and may pick a different s4 layout than the
+    one ``_to_device_int4`` pinned at creation — the resulting entry
+    relayout is the device_put that recurses on the axon remote-TPU
+    platform. Pinning at the single consumption point makes every
+    program's entry layout agree by construction. Single-chip TPU only:
+    the probed Format carries a single-device sharding, so sharded/spoofed
+    configurations skip the constraint (their relayouts happen on
+    backends where device_put works)."""
+    if jax.default_backend() != "tpu" or jax.device_count() != 1:
+        return wq
+    try:
+        from jax.experimental.layout import with_layout_constraint
+
+        fmt = _s4_format(tuple(wq.shape))
+        return with_layout_constraint(wq, fmt)
+    except Exception:  # noqa: BLE001 — constraint is an optimization
+        return wq
+
+
 def proj_matmul(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     """``x @ W`` for a bf16 leaf ``{"weight"}`` or a quantized leaf
     ``{"weight_int8"|"weight_int4", "scale"}``. Dequant is expressed so XLA
@@ -270,6 +293,8 @@ def proj_matmul(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     no dequantized copy of W materializes in HBM."""
     wq = p.get("weight_int8", p.get("weight_int4"))
     if wq is not None:
+        if wq.dtype == jnp.int4:
+            wq = _pin_s4_layout(wq)
         if wq.ndim >= 3 and x.shape[-1] == wq.shape[-3] * wq.shape[-2]:
             G, gsz = wq.shape[-3], wq.shape[-2]
             xg = x.reshape(*x.shape[:-1], G, gsz)
