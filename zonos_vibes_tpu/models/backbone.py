@@ -38,7 +38,7 @@ from ..ops.attention import (
     prefill_attention_auto,
     update_kv_cache,
 )
-from ..ops.mlp import swiglu_p
+from ..ops.mlp import swiglu_mid
 from ..ops.quant import proj_matmul
 from ..ops.norms import layer_norm
 from ..ops.rope import apply_rope, expand_rope_table, rope_table
@@ -167,6 +167,7 @@ def _block(
     attend,
     positions: jnp.ndarray,
     table: jnp.ndarray,
+    capture_fc2: bool = False,
 ):
     """One transformer block; attention is delegated to ``attend(q, k, v)``
     which returns ``(y [B,S,Hq,Dh], k_col, v_col [B,Hkv,Dh,S])`` — the
@@ -196,7 +197,14 @@ def _block(
     x = x + y
 
     h = layer_norm(x, n2w, n2b, cfg.norm_epsilon)
-    x = x + swiglu_p(h, layer_params["fc1"], layer_params["fc2"])
+    mid = swiglu_mid(h, layer_params["fc1"])  # fc2 input [B, S, F]
+    x = x + proj_matmul(mid, layer_params["fc2"])
+    if capture_fc2:
+        # Quantization calibration (ops/quant.awq_fold): per-channel
+        # energy of the fc2 input over this call's (B, S) positions.
+        return x, k_new, v_new, jnp.sum(
+            mid.astype(jnp.float32) ** 2, axis=(0, 1)
+        )
     return x, k_new, v_new
 
 
@@ -212,6 +220,7 @@ def _stack_forward(
     stage_base: jnp.ndarray | None = None,
     pooled: bool = False,
     pool_base: jnp.ndarray | None = None,
+    capture_fc2: bool = False,
 ):
     """Layer-stack forward over ``layers`` (stacked ``[L, ...]`` params).
 
@@ -365,6 +374,12 @@ def _stack_forward(
                 v_col = v.astype(cdtype).transpose(0, 2, 3, 1)
                 return y, k_col, v_col
 
+        if capture_fc2:
+            h, k_new, v_new, fc2_e = _block(
+                layer_params, cfg, h, attend, positions, rope,
+                capture_fc2=True,
+            )
+            return (h, l + 1), (k_new, v_new, fc2_e)
         h, k_new, v_new = _block(layer_params, cfg, h, attend, positions, rope)
         if is_decode:
             # Emit decode ys FLAT [B, Hkv*Dh]: a [B, Hkv, Dh, 1] column's
@@ -390,9 +405,15 @@ def _stack_forward(
         ],
         axis=1,
     )
-    (hidden, _), (k_cols, v_cols) = jax.lax.scan(
-        scan_body, (hidden, jnp.int32(0)), layers_xs
-    )
+    fc2_energy = None
+    if capture_fc2:
+        (hidden, _), (k_cols, v_cols, fc2_energy) = jax.lax.scan(
+            scan_body, (hidden, jnp.int32(0)), layers_xs
+        )  # fc2_energy: [L, F] summed squares over this call's positions
+    else:
+        (hidden, _), (k_cols, v_cols) = jax.lax.scan(
+            scan_body, (hidden, jnp.int32(0)), layers_xs
+        )
     # k_cols/v_cols: decode [L, B, Hkv*Dh] (flat columns, see scan_body);
     # prefill [L, B, Hkv, Dh, S].
     zero = jnp.zeros((), jnp.int32)
@@ -475,6 +496,8 @@ def _stack_forward(
         hidden = layer_norm(
             hidden, norm_f["weight"], norm_f["bias"], cfg.norm_epsilon
         )
+    if capture_fc2:
+        return hidden, new_cache, fc2_energy
     return hidden, new_cache
 
 
@@ -489,12 +512,13 @@ def transformer_forward(
     stage_base: jnp.ndarray | None = None,
     pooled: bool = False,
     pool_base: jnp.ndarray | None = None,
+    capture_fc2: bool = False,
 ):
     """Full layer stack + final LayerNorm (see :func:`_stack_forward`)."""
     return _stack_forward(
         params["layers"], params["norm_f"], cfg, hidden, cache, offset,
         lengths_per_sample, rope, stage_base=stage_base, pooled=pooled,
-        pool_base=pool_base,
+        pool_base=pool_base, capture_fc2=capture_fc2,
     )
 
 
@@ -518,8 +542,10 @@ class TransformerBackbone:
                                  kv_int8=kv_int8)
 
     def forward(self, params, hidden, cache, offset, lengths, rope=None,
-                stage_base=None, pooled=False, pool_base=None):
+                stage_base=None, pooled=False, pool_base=None,
+                capture_fc2=False):
         return transformer_forward(
             params, self.cfg, hidden, cache, offset, lengths, rope,
             stage_base=stage_base, pooled=pooled, pool_base=pool_base,
+            capture_fc2=capture_fc2,
         )

@@ -120,7 +120,8 @@ class ZonosModel:
         )
 
     def backbone_forward(self, params, hidden, cache, offset, lengths, rope=None,
-                         stage_base=None, pooled=False, pool_base=None):
+                         stage_base=None, pooled=False, pool_base=None,
+                         capture_fc2=False):
         kw = {}
         if stage_base is not None:
             kw["stage_base"] = stage_base
@@ -128,6 +129,8 @@ class ZonosModel:
             kw["pooled"] = True
         if pool_base is not None:
             kw["pool_base"] = pool_base
+        if capture_fc2:  # transformer-only quantization calibration tap
+            kw["capture_fc2"] = True
         return self.backbone.forward(
             params["backbone"], hidden, cache, offset, lengths, rope, **kw
         )

@@ -18,10 +18,19 @@ def swiglu(x: jnp.ndarray, fc1_w: jnp.ndarray, fc2_w: jnp.ndarray) -> jnp.ndarra
     return (y * jax.nn.silu(gate)) @ fc2_w
 
 
-def swiglu_p(x: jnp.ndarray, fc1: dict, fc2: dict) -> jnp.ndarray:
-    """Param-dict variant supporting int8 weight-only leaves (ops/quant)."""
+def swiglu_mid(x: jnp.ndarray, fc1: dict) -> jnp.ndarray:
+    """fc1 + gate only — the fc2 INPUT ``y * silu(gate)``. Split out so
+    quantization calibration can observe the fc2 input distribution
+    (ops/quant.awq_fold) without re-deriving the gate math."""
     from .quant import proj_matmul
 
     h = proj_matmul(x, fc1)
     y, gate = jnp.split(h, 2, axis=-1)
-    return proj_matmul(y * jax.nn.silu(gate), fc2)
+    return y * jax.nn.silu(gate)
+
+
+def swiglu_p(x: jnp.ndarray, fc1: dict, fc2: dict) -> jnp.ndarray:
+    """Param-dict variant supporting int8 weight-only leaves (ops/quant)."""
+    from .quant import proj_matmul
+
+    return proj_matmul(swiglu_mid(x, fc1), fc2)

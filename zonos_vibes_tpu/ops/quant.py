@@ -110,10 +110,41 @@ def fc2_hessian_mc(w1, n_samples: int = 3072, seed: int = 0):
         x = rng.standard_normal((m, w1.shape[0])).astype(np.float32)
         z = x @ w1
         y, g = z[:, :d_ff], z[:, d_ff:]
-        h = y * (g / (1.0 + np.exp(-g)))
+        # Stable SiLU: sigmoid via tanh avoids exp overflow for large |g|.
+        h = y * (g * (0.5 * (1.0 + np.tanh(0.5 * g))))
         H += (h.T @ h).astype(np.float64)
         done += m
     return (H / n_samples).astype(np.float32)
+
+
+def _rtn_groupquant(w32, qmax: float, group_size: int | None,
+                    clip_search: bool):
+    """Round-to-nearest + per-out-column absmax scales, optionally with
+    ``group_size``-row sub-channel scale groups and the per-column MSE
+    clip search — pure numpy (host-side, also reused by the AWQ alpha
+    search, :func:`awq_fold`). Returns ``(q int8, scale fp32)`` in the
+    stored grouped shape: ``q [..., G, group, out]`` + ``scale [..., G,
+    1, out]`` when grouped, else ``q [..., in, out]`` + ``scale [..., 1,
+    out]``."""
+    import numpy as np
+
+    if group_size is not None:
+        G = w32.shape[-2] // group_size
+        w32 = w32.reshape(*w32.shape[:-2], G, group_size, w32.shape[-1])
+    absmax = np.max(np.abs(w32), axis=-2, keepdims=True)  # [..., 1, out]
+    scale = np.where(absmax > 0, absmax / qmax, 1.0).astype(np.float32)
+    q = np.clip(np.round(w32 / scale), -qmax, qmax).astype(np.int8)
+    if clip_search:
+        err = ((q * scale - w32) ** 2).sum(axis=-2, keepdims=True)
+        for c in (0.95, 0.9, 0.85, 0.8, 0.75, 0.7, 0.65):
+            s_c = np.where(absmax > 0, absmax * c / qmax, 1.0).astype(np.float32)
+            q_c = np.clip(np.round(w32 / s_c), -qmax, qmax).astype(np.int8)
+            err_c = ((q_c * s_c - w32) ** 2).sum(axis=-2, keepdims=True)
+            better = err_c < err
+            q = np.where(better, q_c, q)
+            scale = np.where(better, s_c, scale)
+            err = np.minimum(err, err_c)
+    return q, scale
 
 
 def quantize_weight(w: jnp.ndarray, bits: int = 8,
@@ -170,22 +201,9 @@ def quantize_weight(w: jnp.ndarray, bits: int = 8,
         q = q.reshape(*lead, G, group_size, out)
         scale = sc[..., :, None, :]  # [..., G, 1, out]
     else:
-        if grouped:
-            G = w32.shape[-2] // group_size
-            w32 = w32.reshape(*w32.shape[:-2], G, group_size, w32.shape[-1])
-        absmax = np.max(np.abs(w32), axis=-2, keepdims=True)  # [..., 1, out]
-        scale = np.where(absmax > 0, absmax / qmax, 1.0).astype(np.float32)
-        q = np.clip(np.round(w32 / scale), -qmax, qmax).astype(np.int8)
-        if clip_search:
-            err = ((q * scale - w32) ** 2).sum(axis=-2, keepdims=True)
-            for c in (0.95, 0.9, 0.85, 0.8, 0.75, 0.7, 0.65):
-                s_c = np.where(absmax > 0, absmax * c / qmax, 1.0).astype(np.float32)
-                q_c = np.clip(np.round(w32 / s_c), -qmax, qmax).astype(np.int8)
-                err_c = ((q_c * s_c - w32) ** 2).sum(axis=-2, keepdims=True)
-                better = err_c < err
-                q = np.where(better, q_c, q)
-                scale = np.where(better, s_c, scale)
-                err = np.minimum(err, err_c)
+        q, scale = _rtn_groupquant(
+            w32, qmax, group_size if grouped else None, clip_search
+        )
     if fake:
         # Quantize->dequantize entirely HOST-side: numerically equivalent
         # to the packed path up to ONE extra bf16 rounding of each q*scale
@@ -307,6 +325,63 @@ def proj_matmul(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     return x @ p["weight"]
 
 
+def awq_fold(layers: dict, fc2_energy, group_size: int = 128,
+             alphas=(0.0, 0.25, 0.5, 0.75, 1.0)) -> dict:
+    """Activation-aware (AWQ-style, Lin et al. 2023 — re-derived in numpy)
+    EXACT-math rescale of the gated MLP ahead of int4 fc2 quantization.
+
+    Key structural fact that makes the fold free: per-column channel
+    scaling commutes with per-out-channel (and grouped per-out-channel)
+    quantization. Scaling fc2's contraction row ``c`` by ``s_c`` and
+    fc1's ``y``-half output column ``c`` by ``1/s_c`` is an exact-math
+    identity on the block output (``mid_c -> mid_c / s_c``, SiLU gate
+    half untouched), and fc1's own per-out-channel quant scales absorb
+    the ``1/s_c`` exactly — so the fold costs fc1 NOTHING and lets fc2's
+    15-level grid spend its dynamic range where the activations actually
+    carry energy.
+
+    ``fc2_energy``: ``[L, F]`` summed squares of the fc2 input per
+    channel, captured from a REAL forward (models/backbone.py
+    ``capture_fc2`` — the round-5 GPTQ negative result showed the
+    iid-normal Monte-Carlo input proxy actively hurts; docs/KERNELS.md).
+
+    Per layer, ``s = (rms / geomean(rms)) ** alpha`` with ``alpha``
+    selected from ``alphas`` by the TRUE objective: the deployed output
+    error ``sum_c E[mid_c^2] / s_c^2 * ||q(s_c W2_c) - s_c W2_c||^2``
+    under the exact grouped-RTN+clip quantizer that ships
+    (:func:`_rtn_groupquant`); ``alpha=0`` (no fold) is in the grid, so
+    the search can only improve on plain RTN. Returns a new ``layers``
+    tree with fp32 folded fc1/fc2 (both are re-quantized immediately
+    after by the caller). Stacked ``[L, ...]`` transformer trees only."""
+    import numpy as np
+
+    assert "fc1" in layers and "weight" in layers["fc1"], "bf16 tree required"
+    e = np.asarray(jax.device_get(fc2_energy), np.float64)  # [L, F]
+    w1 = np.array(jax.device_get(layers["fc1"]["weight"]), np.float32)
+    w2 = np.array(jax.device_get(layers["fc2"]["weight"]), np.float32)
+    L, F, _ = w2.shape
+    rms = np.sqrt(np.maximum(e, 1e-20))
+    rms = rms / np.exp(np.mean(np.log(rms), axis=1, keepdims=True))  # gmean 1
+    gsz = group_size if (F % group_size == 0 and F > group_size) else None
+    for l in range(L):
+        best_err, best_s = None, None
+        for a in alphas:
+            s = np.clip(rms[l] ** a, 1e-3, 1e3).astype(np.float32)  # [F]
+            w2s = w2[l] * s[:, None]
+            q, sc = _rtn_groupquant(w2s, 7.0, gsz, clip_search=True)
+            dq = (q * sc).reshape(F, -1) if gsz else q * sc
+            err = float((((dq - w2s) ** 2).sum(axis=1)
+                         * (e[l] / s.astype(np.float64) ** 2)).sum())
+            if best_err is None or err < best_err:
+                best_err, best_s = err, s
+        w2[l] *= best_s[:, None]
+        w1[l, :, :F] /= best_s[None, :]
+    out = dict(layers)
+    out["fc1"] = {**layers["fc1"], "weight": w1}
+    out["fc2"] = {**layers["fc2"], "weight": w2}
+    return out
+
+
 _QUANT_KEYS = ("in_proj", "out_proj", "fc1", "fc2")
 _MLP_KEYS = ("fc1", "fc2")
 
@@ -316,7 +391,8 @@ def quantize_backbone_params(backbone_params: dict, bits: int = 8,
                              int4_group: int | None = 128,
                              fake: bool = False,
                              fc2_bits: int | None = None,
-                             gptq: bool = False) -> dict:
+                             gptq: bool = False,
+                             awq_energy=None) -> dict:
     """Quantize the transformer backbone's projection weights in place-like
     fashion (returns a new tree; norms/embeddings untouched). Works on the
     stacked-layer tree (models/backbone.init_transformer_backbone) and the
@@ -338,7 +414,9 @@ def quantize_backbone_params(backbone_params: dict, bits: int = 8,
     run GPTQ sequential error compensation (VERDICT r4 #2) against a
     Monte-Carlo input Hessian built per layer from that layer's own fc1 +
     SiLU gate (:func:`fc2_hessian_mc`) — a one-time host-side cost of
-    ~0.5-1 min/layer at flagship scale. fc1's input is the LayerNorm
+    ~1.7 min/layer at flagship scale (measured: 25 s Hessian MC + 74 s
+    blocked sweep w/ clip search at d_ff=8192), ~45 min for the 26-layer
+    stack. fc1's input is the LayerNorm
     output (near-isotropic ⇒ H ≈ I, where GPTQ provably reduces to RTN),
     so fc1 stays on the RTN+clip path."""
     def quantize_layer(layer: dict) -> dict:
@@ -371,6 +449,9 @@ def quantize_backbone_params(backbone_params: dict, bits: int = 8,
     if isinstance(layers, (list, tuple)):
         out["layers"] = [quantize_layer(l) for l in layers]
     else:
+        if awq_energy is not None and (fc2_bits or mlp_bits or bits) == 4:
+            layers = awq_fold(layers, awq_energy,
+                              group_size=int4_group or 128)
         out["layers"] = quantize_layer(layers)
     return out
 
@@ -381,7 +462,8 @@ def quantize_zonos_params(params: dict, heads: bool = True,
                           int4_group: int | None = 128,
                           fake: bool = False,
                           fc2_bits: int | None = None,
-                          gptq: bool = False) -> dict:
+                          gptq: bool = False,
+                          awq_energy=None) -> dict:
     """Full-model variant: backbone projections int8 (or int4/mixed via
     ``bits``/``mlp_bits``); conditioners stay bf16 (negligible bytes).
     Heads/embeddings never drop below int8 (logit-sensitive).
@@ -397,7 +479,8 @@ def quantize_zonos_params(params: dict, heads: bool = True,
     out = dict(params)
     out["backbone"] = quantize_backbone_params(
         params["backbone"], bits=bits, mlp_bits=mlp_bits,
-        int4_group=int4_group, fake=fake, fc2_bits=fc2_bits, gptq=gptq)
+        int4_group=int4_group, fake=fake, fc2_bits=fc2_bits, gptq=gptq,
+        awq_energy=awq_energy)
     if heads and "weight" in params["heads"]:
         out["heads"] = quantize_weight(params["heads"]["weight"], fake=fake)
     if embeddings and "weight" in params["embeddings"]:
