@@ -42,7 +42,7 @@ def main() -> None:
     from zonos_vibes_tpu.models.zonos import ZonosModel
     from zonos_vibes_tpu.ops.sampling import SamplingParams
 
-    modes = {"bf16", "int8", "int4", "int4full"}
+    modes = {"bf16", "int8", "int4", "int4fc1", "int4full"}
     args = [a for a in sys.argv[1:] if a not in modes]
     steps = int(args[0]) if args else 430  # 5 s of audio
     # Default mode is int8 weight-only + int8-KV — the production serving
@@ -58,13 +58,17 @@ def main() -> None:
         # weights, and the flushed KV prefix as int8 + per-(head, token)
         # scales (kv_int8 engine mode; stage/current stay exact bf16).
         # int4 phase 3 (experimental): "int4" = MLP weights s4 (attention/
-        # heads int8); "int4full" = every backbone projection s4.
+        # heads int8); "int4fc1" = fc1-only s4, fc2 int8 (the quality-
+        # gated mixed point — fc2 is 1/3 of MLP bytes but its int4 noise
+        # sits right before the residual add); "int4full" = every
+        # backbone projection s4.
         from zonos_vibes_tpu.ops.quant import quantize_zonos_params
 
         bits = 4 if mode == "int4full" else 8
         mlp_bits = 4 if mode.startswith("int4") else None
+        fc2_bits = 8 if mode == "int4fc1" else None
         params = quantize_zonos_params(params, heads=True, bits=bits,
-                                       mlp_bits=mlp_bits)
+                                       mlp_bits=mlp_bits, fc2_bits=fc2_bits)
     engine = DecodeEngine(model, kv_int8=mode != "bf16")
 
     # Conditioning prefix: typical phonemized-sentence length (~60 tokens).

@@ -154,3 +154,14 @@ def test_quantize_backbone_awq_smoke():
     )
     assert "weight" in qp["layers"]["fc2"]  # fake path: dequantized leaf
     assert qp["layers"]["fc2"]["weight"].shape == (3, 256, 64)
+
+    # Fake leaves must come back in the ACTIVATION dtype even though the
+    # fold re-stores fc1/fc2 as fp32 intermediates — a f32 leaf would
+    # promote the residual stream and break the decode scan carry dtype.
+    params16 = model.init(jax.random.key(0), dtype=jnp.bfloat16)
+    qp16 = quantize_backbone_params(
+        params16["backbone"], bits=8, mlp_bits=4, int4_group=64,
+        fake=True, awq_energy=e,
+    )
+    assert qp16["layers"]["fc2"]["weight"].dtype == jnp.bfloat16
+    assert qp16["layers"]["fc1"]["weight"].dtype == jnp.bfloat16

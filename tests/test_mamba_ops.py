@@ -253,3 +253,42 @@ def test_fused_ssd_gate_step_kernel_bf16_state():
     np.testing.assert_array_equal(
         np.asarray(ns), np.asarray(exact.astype(jnp.bfloat16))
     )
+
+
+def test_layered_ssd_gate_step_matches_per_layer_kernel():
+    """The layer-indexed aliased variant (stacked [R, B, N, HP] state
+    updated in place at plane l — the run-scan carry form) produces the
+    SAME y and plane update as the per-layer kernel, and leaves every
+    other plane untouched."""
+    from zonos_vibes_tpu.ops.pallas.mamba_step import (
+        ssd_gate_step_layered_pallas,
+        ssd_gate_step_pallas,
+    )
+
+    R, B, H, P, N = 3, 2, 4, 8, 16
+    HP = H * P
+    rng = np.random.default_rng(7)
+    f32 = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))  # noqa: E731
+    states = f32(R, B, N, HP)
+    xs, z = f32(B, 1, HP), f32(B, 1, HP)
+    dt = jnp.abs(f32(B, 1, HP)) + 0.1
+    decay = jnp.exp(-dt)
+    Bm, Cm = f32(B, N, 1), f32(B, N, 1)
+    D, w = f32(1, HP), f32(1, HP)
+
+    for l in range(R):
+        y_ref, ns_ref = ssd_gate_step_pallas(
+            states[l], xs, dt, decay, Bm, Cm, z, D, w, interpret=True
+        )
+        y, ns = ssd_gate_step_layered_pallas(
+            states, jnp.int32(l), xs, dt, decay, Bm, Cm, z, D, w,
+            interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ns[l]), np.asarray(ns_ref),
+                                   rtol=1e-6, atol=1e-6)
+        others = [r for r in range(R) if r != l]
+        np.testing.assert_array_equal(
+            np.asarray(ns)[others], np.asarray(states)[others]
+        )

@@ -312,27 +312,72 @@ class HybridBackbone:
 
     # -- mixers -------------------------------------------------------------
 
-    def _mamba_mixer(self, lp, x, cache, is_decode: bool):
+    def _decode_mix_prologue(self, lp, x, conv_cache):
+        """Shared decode-step front half: in_proj → (z, xBC, dt) split →
+        softplus dt → rolling depthwise conv step + SiLU → (xs, B, C)
+        split. Returns ``(z, xs, Bm, Cm, dt0 [B,H] f32, A, conv_state)``."""
         s = self.ssm
-        B, S, D = x.shape
         zxbcdt = proj_matmul(x, lp["in_proj"])
         z, xBC, dt = jnp.split(
-            zxbcdt, [s.d_inner, 2 * s.d_inner + 2 * s.ngroups * s.d_state], axis=-1
+            zxbcdt, [s.d_inner, 2 * s.d_inner + 2 * s.ngroups * s.d_state],
+            axis=-1,
         )
         dt = jax.nn.softplus(dt.astype(jnp.float32) + lp["dt_bias"])
         A = -jnp.exp(lp["A_log"])
+        xBC_t, conv_state = causal_conv1d_step(
+            xBC[:, 0], lp["conv1d"]["weight"], lp["conv1d"]["bias"],
+            conv_cache,
+        )
+        xBC_t = jax.nn.silu(xBC_t)
+        xs, Bm, Cm = jnp.split(
+            xBC_t, [s.d_inner, s.d_inner + s.ngroups * s.d_state], axis=-1
+        )
+        return z, xs, Bm, Cm, dt[:, 0], A, conv_state
 
+    def _fused_kernel_inputs(self, lp, dt0, A):
+        """Per-head → per-lane expansions the fused step kernels consume."""
+        s = self.ssm
+        P = s.headdim
+        dt_l = _head_to_lanes(dt0, P)[:, None, :]        # [B,1,HP]
+        decay_l = _head_to_lanes(jnp.exp(dt0 * A[None, :]), P)[:, None, :]
+        d_l = jnp.broadcast_to(
+            lp["D"][:, None], (s.nheads, P)
+        ).reshape(1, s.d_inner)
+        return dt_l, decay_l, d_l
+
+    def _mamba_mixer_stacked(self, lp, x, conv_cache, ssm_all, layer):
+        """Run-scan body variant: the stacked ``[R, B, N, HP]`` SSM state
+        rides the scan CARRY and is updated IN PLACE at plane ``layer`` by
+        the aliased layer-indexed kernel — never through scan ys (whose
+        stacked buffer XLA copies into the decode while-carry every step;
+        traced at ~4.3 ms/step for 16-slot flagship hybrid,
+        docs/KERNELS.md round-5). Fused-eligible geometries only."""
+        from ..ops.pallas.mamba_step import ssd_gate_step_layered_pallas
+
+        z, xs, Bm, Cm, dt0, A, conv_state = self._decode_mix_prologue(
+            lp, x, conv_cache
+        )
+        dt_l, decay_l, d_l = self._fused_kernel_inputs(lp, dt0, A)
+        y_g, ssm_all = ssd_gate_step_layered_pallas(
+            ssm_all, layer,
+            xs[:, None, :], dt_l, decay_l,
+            Bm.astype(jnp.float32)[:, :, None],
+            Cm.astype(jnp.float32)[:, :, None],
+            z,
+            d_l,
+            lp["ssm_norm"]["weight"].reshape(1, self.ssm.d_inner),
+            eps=self.cfg.norm_epsilon,
+        )
+        out = proj_matmul(y_g, lp["out_proj"])
+        return out, conv_state, ssm_all
+
+    def _mamba_mixer(self, lp, x, cache, is_decode: bool):
+        s = self.ssm
+        B, S, D = x.shape
         if is_decode:
-            xBC_t, conv_state = causal_conv1d_step(
-                xBC[:, 0], lp["conv1d"]["weight"], lp["conv1d"]["bias"],
-                cache["conv"],
+            z, xs, Bm, Cm, dt0, A, conv_state = self._decode_mix_prologue(
+                lp, x, cache["conv"]
             )
-            xBC_t = jax.nn.silu(xBC_t)
-            xs, Bm, Cm = jnp.split(
-                xBC_t, [s.d_inner, s.d_inner + s.ngroups * s.d_state], axis=-1
-            )
-            P = s.headdim
-            dt0 = dt[:, 0]  # [B, H] f32
             if _fused_step_eligible(s, B):
                 # Fused Pallas core on the lane-transposed [B, N, H*P]
                 # state: update + C·h readout + D skip + silu(z) gate +
@@ -341,11 +386,7 @@ class HybridBackbone:
                 # consumed in its storage layout — no reshape between
                 # buffer and pallas_call. Everything in the chain is
                 # lane-parallel (the readout a sublane reduction).
-                dt_l = _head_to_lanes(dt0, P)[:, None, :]        # [B,1,HP]
-                decay_l = _head_to_lanes(jnp.exp(dt0 * A[None, :]), P)[:, None, :]
-                d_l = jnp.broadcast_to(
-                    lp["D"][:, None], (s.nheads, P)
-                ).reshape(1, s.d_inner)
+                dt_l, decay_l, d_l = self._fused_kernel_inputs(lp, dt0, A)
                 y_g, ssm_state = ssd_gate_step_pallas(
                     cache["ssm"],
                     xs[:, None, :], dt_l, decay_l,
@@ -369,6 +410,14 @@ class HybridBackbone:
             )
             y = y[:, None, :]
         else:
+            zxbcdt = proj_matmul(x, lp["in_proj"])
+            z, xBC, dt = jnp.split(
+                zxbcdt,
+                [s.d_inner, 2 * s.d_inner + 2 * s.ngroups * s.d_state],
+                axis=-1,
+            )
+            dt = jax.nn.softplus(dt.astype(jnp.float32) + lp["dt_bias"])
+            A = -jnp.exp(lp["A_log"])
             xBC_c, conv_state = causal_conv1d(
                 xBC, lp["conv1d"]["weight"], lp["conv1d"]["bias"], cache["conv"]
             )
@@ -552,27 +601,55 @@ class HybridBackbone:
                     # layer params (jnp.stack of the per-layer leaves —
                     # loop-invariant, so XLA hoists the stacking out of the
                     # decode while-loop; costs one stacked copy of the run
-                    # weights in HBM) + stacked conv/SSM states riding
-                    # xs/ys. Replaces ~20 ops/layer of unrolled small-op
-                    # overhead (~2 ms/step at flagship scale, xprof).
+                    # weights in HBM). Replaces ~20 ops/layer of unrolled
+                    # small-op overhead (~2 ms/step at flagship scale,
+                    # xprof).
                     stacked = jax.tree.map(
                         lambda *xs: jnp.stack(xs), *[layers[i] for i in idxs]
                     )
+                    B_rows = hidden.shape[0]
+                    if _fused_step_eligible(self.ssm, B_rows):
+                        # Stacked SSM state rides the scan CARRY and is
+                        # updated IN PLACE by the aliased layer-indexed
+                        # kernel. Emitting new states as scan ys instead
+                        # makes XLA copy the whole stacked buffer into
+                        # the decode while-carry every step — traced at
+                        # ~4.3 ms/step (16-slot flagship hybrid,
+                        # docs/KERNELS.md round-5). Conv states stay on
+                        # xs/ys (×42 they are ~90 MB total — the copy is
+                        # ~0.2 ms — vs 1.4 GB of SSM state).
+                        def body(carry, xs):
+                            h, res, ssm_all, l = carry
+                            lp, conv = xs
+                            normed, res = layer_prologue(lp, h, res)
+                            mixed, conv_new, ssm_all = \
+                                self._mamba_mixer_stacked(
+                                    lp, normed, conv, ssm_all, l
+                                )
+                            return (mixed, res, ssm_all, l + 1), conv_new
 
-                    def body(carry, xs):
-                        h, res = carry
-                        lp, conv, ssm = xs
-                        normed, res = layer_prologue(lp, h, res)
-                        mixed, c = self._mamba_mixer(
-                            lp, normed, {"conv": conv, "ssm": ssm}, True
+                        (hidden, residual, ns, _), nc = jax.lax.scan(
+                            body,
+                            (hidden, residual, run_cache["ssm"],
+                             jnp.int32(0)),
+                            (stacked, run_cache["conv"]),
                         )
-                        return (mixed, res), (c["conv"], c["ssm"])
+                        new_runs.append({"conv": nc, "ssm": ns})
+                    else:
+                        def body(carry, xs):
+                            h, res = carry
+                            lp, conv, ssm = xs
+                            normed, res = layer_prologue(lp, h, res)
+                            mixed, c = self._mamba_mixer(
+                                lp, normed, {"conv": conv, "ssm": ssm}, True
+                            )
+                            return (mixed, res), (c["conv"], c["ssm"])
 
-                    (hidden, residual), (nc, ns) = jax.lax.scan(
-                        body, (hidden, residual),
-                        (stacked, run_cache["conv"], run_cache["ssm"]),
-                    )
-                    new_runs.append({"conv": nc, "ssm": ns})
+                        (hidden, residual), (nc, ns) = jax.lax.scan(
+                            body, (hidden, residual),
+                            (stacked, run_cache["conv"], run_cache["ssm"]),
+                        )
+                        new_runs.append({"conv": nc, "ssm": ns})
                 else:
                     # Prefill runs once — unrolled, stacking states at the
                     # end of the run.

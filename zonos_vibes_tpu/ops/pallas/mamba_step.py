@@ -82,6 +82,98 @@ def _kernel(
     y_ref[0] = (g * w_ref[...].astype(jnp.float32)).astype(y_ref.dtype)
 
 
+def _layered_kernel(
+    layer_ref,  # scalar-prefetch [1] int32
+    state_ref,  # VMEM [1, 1, N, HP] — this layer's plane of the stacked state
+    xs_ref,     # VMEM [1, 1, HP]
+    dt_ref,     # VMEM [1, 1, HP] f32
+    decay_ref,  # VMEM [1, 1, HP] f32
+    bm_ref,     # VMEM [1, N, 1] f32
+    cm_ref,     # VMEM [1, N, 1] f32
+    z_ref,      # VMEM [1, 1, HP]
+    d_ref,      # VMEM [1, HP] f32
+    w_ref,      # VMEM [1, HP]
+    y_ref,      # out VMEM [1, 1, HP]
+    ns_ref,     # out VMEM [1, 1, N, HP] — ALIASED with state_ref's buffer
+    *,
+    eps: float,
+):
+    state = state_ref[0, 0].astype(jnp.float32)       # [N, HP]
+    xs = xs_ref[0].astype(jnp.float32)                # [1, HP]
+    dtxs = dt_ref[0] * xs
+    new_state = state * decay_ref[0] + bm_ref[0] * dtxs
+    ns_ref[0, 0] = new_state.astype(ns_ref.dtype)
+    y = jnp.sum(cm_ref[0] * new_state, axis=0, keepdims=True)
+    y = y + d_ref[...] * xs
+    z = z_ref[0].astype(jnp.float32)
+    g = y * (z * jax.nn.sigmoid(z))
+    ms = jnp.mean(g * g)
+    g = g * jax.lax.rsqrt(ms + eps)
+    y_ref[0] = (g * w_ref[...].astype(jnp.float32)).astype(y_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def ssd_gate_step_layered_pallas(
+    states: jnp.ndarray,  # [R, B, N, HP] FULL stacked run state (aliased)
+    layer: jnp.ndarray,   # scalar int32 — which plane to update
+    xs: jnp.ndarray,      # [B, 1, HP]
+    dt: jnp.ndarray,      # [B, 1, HP] f32
+    decay: jnp.ndarray,   # [B, 1, HP] f32
+    bm: jnp.ndarray,      # [B, N, 1] f32
+    cm: jnp.ndarray,      # [B, N, 1] f32
+    z: jnp.ndarray,       # [B, 1, HP]
+    d_skip: jnp.ndarray,  # [1, HP] f32
+    norm_w: jnp.ndarray,  # [1, HP]
+    eps: float = 1e-5,
+    interpret: bool = False,
+):
+    """Layer-indexed IN-PLACE variant for the decode run scan: updates
+    plane ``layer`` of the stacked ``[R, B, N, HP]`` state buffer via
+    ``input_output_aliases`` and returns ``(y_gated [B, 1, HP],
+    states)`` with ``states`` the SAME buffer.
+
+    Why: threading run states through ``lax.scan`` xs/ys makes XLA copy
+    the whole stacked state (1.4 GB at 16-slot flagship hybrid) into the
+    enclosing decode while-carry every step — traced as ~4.3 ms/step of
+    ``copy`` at 16 slots, dwarfing the 93.7 us/call kernel itself (87%
+    of the state-bytes roofline; docs/KERNELS.md round-5 trace). With
+    the stacked buffer riding the scan CARRY and this kernel splicing
+    one plane in place (the ``stage_write.py`` pattern), the only state
+    HBM traffic left is the kernel's own read + write."""
+    R, B, N, HP = states.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, N, HP), lambda b, l: (l[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, HP), lambda b, l: (b, 0, 0)),
+            pl.BlockSpec((1, 1, HP), lambda b, l: (b, 0, 0)),
+            pl.BlockSpec((1, 1, HP), lambda b, l: (b, 0, 0)),
+            pl.BlockSpec((1, N, 1), lambda b, l: (b, 0, 0)),
+            pl.BlockSpec((1, N, 1), lambda b, l: (b, 0, 0)),
+            pl.BlockSpec((1, 1, HP), lambda b, l: (b, 0, 0)),
+            pl.BlockSpec((1, HP), lambda b, l: (0, 0)),
+            pl.BlockSpec((1, HP), lambda b, l: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, HP), lambda b, l: (b, 0, 0)),
+            pl.BlockSpec((1, 1, N, HP), lambda b, l: (l[0], b, 0, 0)),
+        ],
+    )
+    y, new_states = pl.pallas_call(
+        functools.partial(_layered_kernel, eps=eps),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, HP), z.dtype),
+            jax.ShapeDtypeStruct((R, B, N, HP), states.dtype),
+        ],
+        input_output_aliases={1: 1},  # states buffer updated in place
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), states, xs, dt, decay,
+      bm, cm, z, d_skip, norm_w)
+    return y, new_states
+
+
 @functools.partial(jax.jit, static_argnames=("eps", "interpret"))
 def ssd_gate_step_pallas(
     state_t: jnp.ndarray,  # [B, N, HP] storage dtype (f32 or bf16)

@@ -151,7 +151,8 @@ def quantize_weight(w: jnp.ndarray, bits: int = 8,
                     group_size: int | None = None,
                     clip_search: bool = False,
                     fake: bool = False,
-                    gptq_h=None) -> dict:
+                    gptq_h=None,
+                    fake_dtype=None) -> dict:
     """``[..., in, out]`` float -> int8/int4 + per-out-channel scale (fp32).
     Leading axes (e.g. the stacked-layer axis) are preserved. Quantization
     math runs HOST-side (numpy): it is one-time load work, and doing it on
@@ -217,7 +218,11 @@ def quantize_weight(w: jnp.ndarray, bits: int = 8,
         deq = (q.astype(np.float32) * scale)
         if grouped:
             deq = deq.reshape(*deq.shape[:-3], -1, deq.shape[-1])
-        return {"weight": jnp.asarray(deq, w.dtype)}
+        # fake_dtype: the ACTIVATION dtype to store the dequant in — needed
+        # when ``w`` arrives as an fp32 intermediate (the AWQ fold) but the
+        # pipeline's activations are bf16 (a f32 fake leaf would promote
+        # the residual stream and break scan carry dtypes).
+        return {"weight": jnp.asarray(deq, fake_dtype or w.dtype)}
     if bits == 4:
         return {"weight_int4": _to_device_int4(q), "scale": jnp.asarray(scale)}
     return {"weight_int8": jnp.asarray(q), "scale": jnp.asarray(scale)}
@@ -419,6 +424,8 @@ def quantize_backbone_params(backbone_params: dict, bits: int = 8,
     stack. fc1's input is the LayerNorm
     output (near-isotropic ⇒ H ≈ I, where GPTQ provably reduces to RTN),
     so fc1 stays on the RTN+clip path."""
+    act_dtype = [None]  # set when the AWQ fold re-stores fc1/fc2 as fp32
+
     def quantize_layer(layer: dict) -> dict:
         out = dict(layer)
         for k in _QUANT_KEYS:
@@ -441,7 +448,8 @@ def quantize_backbone_params(backbone_params: dict, bits: int = 8,
                 out[k] = quantize_weight(
                     layer[k]["weight"], bits=b,
                     group_size=int4_group if b == 4 else None,
-                    clip_search=b == 4, fake=fake, gptq_h=h_fn)
+                    clip_search=b == 4, fake=fake, gptq_h=h_fn,
+                    fake_dtype=act_dtype[0] if k in _MLP_KEYS else None)
         return out
 
     out = dict(backbone_params)
@@ -450,6 +458,7 @@ def quantize_backbone_params(backbone_params: dict, bits: int = 8,
         out["layers"] = [quantize_layer(l) for l in layers]
     else:
         if awq_energy is not None and (fc2_bits or mlp_bits or bits) == 4:
+            act_dtype[0] = layers["fc1"]["weight"].dtype
             layers = awq_fold(layers, awq_energy,
                               group_size=int4_group or 128)
         out["layers"] = quantize_layer(layers)
