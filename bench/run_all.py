@@ -58,6 +58,10 @@ CONFIGS = [
     # conflicts with the creation-pinned packed layout on the remote-TPU
     # platform (device_put relayout recursion, round-4 suite stderr).
     ("headline_int4", "bench.py", ["430", "int4"], ["54", "int4"]),
+    # Mixed point (round 5): fc1-only s4, fc2 stays int8 — the quality
+    # dial that actually moves TVD (5.8% vs int4-MLP's 7.2%; calibration-
+    # aware rounding measured FLAT at random init, docs/KERNELS.md).
+    ("headline_int4fc1", "bench.py", ["430", "int4fc1"], ["54", "int4fc1"]),
     # Streaming latency: wall to the first ~0.5 s waveform chunk.
     ("latency_ttfa", "bench/latency_ttfa.py", [], []),
     # Pooled streaming (VERDICT r2 #2): staggered streams share the pool.

@@ -188,7 +188,15 @@ def ssd_gate_step_pallas(
     eps: float = 1e-5,
     interpret: bool = False,
 ):
-    """Returns ``(y_gated [B, 1, HP], new_state [B, N, HP])``."""
+    """Returns ``(y_gated [B, 1, HP], new_state [B, N, HP])``.
+
+    ``new_state`` ALIASES the ``state_t`` buffer (``input_output_aliases``):
+    without it, every solo-unrolled layer's fresh state output gets a
+    materialized copy back into the decode while-carry slot — traced at
+    ~102 us × ~37 layers ≈ 3.7 ms/step at the 16-slot flagship hybrid
+    pool (docs/KERNELS.md round-5), dwarfing the kernel's own
+    state-roofline read+write. Callers must treat the input state as
+    consumed (XLA inserts a protective copy if it has other uses)."""
     B, N, HP = state_t.shape
     row = lambda b: (b, 0, 0)  # noqa: E731
     vspec = lambda shape: pl.BlockSpec(shape, row, memory_space=pltpu.VMEM)  # noqa: E731
@@ -215,5 +223,6 @@ def ssd_gate_step_pallas(
             jax.ShapeDtypeStruct((B, 1, HP), z.dtype),
             jax.ShapeDtypeStruct((B, N, HP), state_t.dtype),
         ],
+        input_output_aliases={0: 1},  # state updated in place
         interpret=interpret,
     )(state_t, xs, dt, decay, bm, cm, z, d_skip, norm_w)
